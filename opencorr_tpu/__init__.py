@@ -1,0 +1,43 @@
+"""opencorr_tpu — a TPU-native DIC/DVC engine.
+
+A from-scratch JAX/XLA implementation of the full OpenCorr capability surface
+(see SURVEY.md): FFT-CC initial guesses, IC-GN / IC-LM / NR sub-pixel
+refinement with cubic B-spline interpolation, SIFT + feature-affine seeding,
+stereo calibration / epipolar search / triangulation, strain fields, and
+OpenCorr-compatible I/O — all batched over the POI axis and shardable over a
+TPU device mesh.
+"""
+
+from .data.image import Image2D, Image3D
+from .data.poi import (
+    POITable2D,
+    POITable2DS,
+    POITable3D,
+    new_table_2d,
+    new_table_2ds,
+    new_table_3d,
+    poi_grid_2d,
+    poi_grid_3d,
+)
+from .models.fftcc import FFTCC2D, FFTCC3D
+from .models.icgn import ICGN2D1, ICGN2D2, ICGN3D1
+
+__all__ = [
+    "Image2D",
+    "Image3D",
+    "POITable2D",
+    "POITable2DS",
+    "POITable3D",
+    "new_table_2d",
+    "new_table_2ds",
+    "new_table_3d",
+    "poi_grid_2d",
+    "poi_grid_3d",
+    "FFTCC2D",
+    "FFTCC3D",
+    "ICGN2D1",
+    "ICGN2D2",
+    "ICGN3D1",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,128 @@
+"""Common base for DIC/DVC processing modules.
+
+Mirrors the abstract ``DIC`` / ``DVC`` classes (``oc_dic.h:43-86``): every
+module holds the reference/target images and subset radii, and exposes
+``prepare()`` and ``compute(poi_table)``.  Unlike the reference, ``compute`` is
+functional — it returns a new POI table instead of mutating in place — and the
+per-thread scratch pools (``oc_icgn.cpp:82-88`` et al.) have no equivalent: the
+whole queue is one batch.
+
+``chunk_size`` bounds device memory for large subsets (DVC): the queue is
+processed in fixed-shape chunks so the jitted kernel compiles once; the last
+chunk is padded with replicas of the final POI and the padding is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ZNCC failure codes (oc_dic.h:28-34).
+ZNCC_RESET = 0.0
+ZNCC_FEATURES_INSUFFICIENT = -1.0
+ZNCC_RANSAC_INCONSISTENT = -2.0
+ZNCC_ABORTED = -3.0
+ZNCC_NOT_CONVERGED = -4.0
+ZNCC_NAN = -5.0
+
+
+def _pad_len(n: int, chunk: int) -> int:
+    return (n + chunk - 1) // chunk * chunk
+
+
+def chunked(fn, table, chunk_size: Optional[int]):
+    """Apply ``fn(sub_table) -> sub_table`` over fixed-size POI chunks.
+
+    ``fn`` must be shape-polymorphic only in data values (it is called with a
+    constant chunk length so jit compiles once).
+    """
+    n = table.n
+    if chunk_size is None or n <= chunk_size:
+        return fn(table)
+    padded = _pad_len(n, chunk_size)
+    pad = padded - n
+
+    def pad_leaf(a):
+        if a.ndim == 0:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, mode="edge")
+
+    big = jax.tree_util.tree_map(pad_leaf, table)
+    outs = []
+    for i in range(padded // chunk_size):
+        sub = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk_size, chunk_size, 0)
+            if a.ndim else a,
+            big,
+        )
+        outs.append(fn(sub))
+    cat = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+    return jax.tree_util.tree_map(lambda a: a[:n] if a.ndim else a, cat)
+
+
+class Module2D:
+    """Base for 2D modules: image state + subset radii (oc_dic.h:43-64)."""
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int):
+        self.subset_radius_x = int(subset_radius_x)
+        self.subset_radius_y = int(subset_radius_y)
+        self.ref_img: Optional[jnp.ndarray] = None
+        self.tar_img: Optional[jnp.ndarray] = None
+        self.self_adaptive = False
+
+    def set_images(self, ref_img, tar_img) -> None:
+        self.ref_img = jnp.asarray(_as_mat(ref_img), jnp.float32)
+        self.tar_img = jnp.asarray(_as_mat(tar_img), jnp.float32)
+
+    def set_subset_radii(self, rx: int, ry: int) -> None:
+        self.subset_radius_x = int(rx)
+        self.subset_radius_y = int(ry)
+
+    def set_self_adaptive(self, flag: bool) -> None:
+        self.self_adaptive = bool(flag)
+
+    def prepare(self) -> None:  # pragma: no cover - overridden
+        pass
+
+
+class Module3D:
+    """Base for DVC modules (oc_dic.h:66-86)."""
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 subset_radius_z: int):
+        self.subset_radius_x = int(subset_radius_x)
+        self.subset_radius_y = int(subset_radius_y)
+        self.subset_radius_z = int(subset_radius_z)
+        self.ref_vol: Optional[jnp.ndarray] = None
+        self.tar_vol: Optional[jnp.ndarray] = None
+
+    def set_images(self, ref_vol, tar_vol) -> None:
+        self.ref_vol = jnp.asarray(_as_mat(ref_vol), jnp.float32)
+        self.tar_vol = jnp.asarray(_as_mat(tar_vol), jnp.float32)
+
+    def set_subset_radii(self, rx: int, ry: int, rz: int) -> None:
+        self.subset_radius_x = int(rx)
+        self.subset_radius_y = int(ry)
+        self.subset_radius_z = int(rz)
+
+    def prepare(self) -> None:  # pragma: no cover - overridden
+        pass
+
+
+def _as_mat(img):
+    """Accept Image2D/Image3D wrappers, numpy or jax arrays."""
+    return getattr(img, "mat", img)
+
+
+def sort_by_zncc(table):
+    """Descending ZNCC order (``sortByZNCC``, oc_dic.cpp:57) — returns a
+    reordered table and the permutation."""
+    zncc = np.asarray(table.zncc)
+    order = np.argsort(-zncc, kind="stable")
+    idx = jnp.asarray(order)
+    out = jax.tree_util.tree_map(lambda a: a[idx] if a.ndim else a, table)
+    return out, order

@@ -1,0 +1,85 @@
+"""FFTCC module wrappers (reference API: ``FFTCC2D``/``FFTCC3D``,
+oc_fftcc.h:54-96)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..data import poi as poi_mod
+from ..ops import fftcc as fftcc_ops
+from . import base
+
+
+class FFTCC2D(base.Module2D):
+    """Integer-pixel initial guess by batched FFT cross-correlation.
+
+    Replaces the reference's per-thread FFTW pool + OpenMP loop
+    (oc_fftcc.cpp:151-285) with one batched XLA FFT over the POI queue.
+    """
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 chunk_size: Optional[int] = 65536):
+        super().__init__(subset_radius_x, subset_radius_y)
+        self.chunk_size = chunk_size
+
+    def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        rx, ry = self.subset_radius_x, self.subset_radius_y
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            u, v, zncc, valid = fftcc_ops.fftcc2d(
+                self.ref_img, self.tar_img, t.x, t.y,
+                t.p[:, poi_mod.U], t.p[:, poi_mod.V], rx=rx, ry=ry,
+            )
+            p = t.p.at[:, poi_mod.U].set(u).at[:, poi_mod.V].set(v)
+            # u0/v0/zncc updated only for processed POIs (oc_fftcc.cpp:268-274).
+            r = t.r
+            r = r.at[:, poi_mod.R_U0].set(
+                _where(valid, t.p[:, poi_mod.U], r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                _where(valid, t.p[:, poi_mod.V], r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ZNCC].set(
+                _where(valid, zncc, r[:, poi_mod.R_ZNCC]))
+            return t.replace(p=p, r=r)
+
+        return base.chunked(run, table, self.chunk_size)
+
+
+class FFTCC3D(base.Module3D):
+    """3D FFTCC for DVC (oc_fftcc.cpp:300-437)."""
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 subset_radius_z: int, chunk_size: Optional[int] = 512):
+        super().__init__(subset_radius_x, subset_radius_y, subset_radius_z)
+        self.chunk_size = chunk_size
+
+    def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
+                      self.subset_radius_z)
+
+        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+            u, v, w, zncc, valid = fftcc_ops.fftcc3d(
+                self.ref_vol, self.tar_vol, t.x, t.y, t.z,
+                t.p[:, poi_mod.U3], t.p[:, poi_mod.V3], t.p[:, poi_mod.W3],
+                rx=rx, ry=ry, rz=rz,
+            )
+            p = (t.p.at[:, poi_mod.U3].set(u)
+                 .at[:, poi_mod.V3].set(v)
+                 .at[:, poi_mod.W3].set(w))
+            r = t.r
+            r = r.at[:, poi_mod.R3_U0].set(
+                _where(valid, t.p[:, poi_mod.U3], r[:, poi_mod.R3_U0]))
+            r = r.at[:, poi_mod.R3_V0].set(
+                _where(valid, t.p[:, poi_mod.V3], r[:, poi_mod.R3_V0]))
+            r = r.at[:, poi_mod.R3_W0].set(
+                _where(valid, t.p[:, poi_mod.W3], r[:, poi_mod.R3_W0]))
+            r = r.at[:, poi_mod.R3_ZNCC].set(
+                _where(valid, zncc, r[:, poi_mod.R3_ZNCC]))
+            return t.replace(p=p, r=r)
+
+        return base.chunked(run, table, self.chunk_size)
+
+
+def _where(mask, a, b):
+    import jax.numpy as jnp
+
+    return jnp.where(mask, a, b)

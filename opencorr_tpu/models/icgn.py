@@ -1,0 +1,164 @@
+"""ICGN module wrappers (reference API: ``ICGN2D1``/``ICGN2D2``/``ICGN3D1``,
+oc_icgn.h:45-188)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..data import poi as poi_mod
+from ..ops import bspline, gradient, icgn as icgn_ops
+from . import base
+
+
+class _ICGN2DBase(base.Module2D):
+    order: int = 1
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 conv_criterion: float = 0.001, stop_condition: float = 10,
+                 chunk_size: Optional[int] = 65536):
+        super().__init__(subset_radius_x, subset_radius_y)
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+        self.chunk_size = chunk_size
+        self._gx = None
+        self._gy = None
+        self._lut = None
+
+    def set_iteration(self, conv_criterion: float, stop_condition: float):
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+
+    def prepare_ref(self) -> None:
+        """Gradient maps of the reference image (oc_icgn.cpp:115-125)."""
+        self._gx = gradient.gradient_x_2d(self.ref_img)
+        self._gy = gradient.gradient_y_2d(self.ref_img)
+
+    def prepare_tar(self) -> None:
+        """B-spline LUT of the target image (oc_icgn.cpp:127-136)."""
+        self._lut = bspline.bicubic_prepare(self.tar_img)
+
+    def prepare(self) -> None:
+        self.prepare_ref()
+        self.prepare_tar()
+
+    def compute(self, table: poi_mod.POITable2D,
+                center_offset: Optional[jnp.ndarray] = None
+                ) -> poi_mod.POITable2D:
+        if self._lut is None:
+            raise RuntimeError("call prepare() before compute()")
+        rx, ry = self.subset_radius_x, self.subset_radius_y
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+
+        offs = center_offset
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d(
+                self._gx, self._gy, self.ref_img, self._lut,
+                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
+                offs, order=self.order, rx=rx, ry=ry,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+            r = r.at[:, poi_mod.R_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+            sr = t.sr
+            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+            return t.replace(p=p_out, r=r, sr=sr)
+
+        if offs is not None and self.chunk_size is not None \
+                and table.n > self.chunk_size:
+            # center offsets must be chunked alongside the table; keep it
+            # simple by disabling chunking when offsets are supplied.
+            return run(table)
+        return base.chunked(run, table, self.chunk_size)
+
+
+class ICGN2D1(_ICGN2DBase):
+    """1st-order IC-GN (oc_icgn.cpp:144-351)."""
+
+    order = 1
+
+
+class ICGN2D2(_ICGN2DBase):
+    """2nd-order IC-GN (oc_icgn.cpp:685-908)."""
+
+    order = 2
+
+
+class ICGN3D1(base.Module3D):
+    """3D IC-GN for DVC (oc_icgn.cpp:1270-1501)."""
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 subset_radius_z: int, conv_criterion: float = 0.001,
+                 stop_condition: float = 10,
+                 chunk_size: Optional[int] = 256):
+        super().__init__(subset_radius_x, subset_radius_y, subset_radius_z)
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+        self.chunk_size = chunk_size
+        self._gx = None
+        self._gy = None
+        self._gz = None
+        self._coeff = None
+
+    def set_iteration(self, conv_criterion: float, stop_condition: float):
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+
+    def prepare_ref(self) -> None:
+        """Gradient volumes (oc_icgn.cpp:1240-1251)."""
+        self._gx = gradient.gradient_x_3d(self.ref_vol)
+        self._gy = gradient.gradient_y_3d(self.ref_vol)
+        self._gz = gradient.gradient_z_3d(self.ref_vol)
+
+    def prepare_tar(self) -> None:
+        """Tricubic prefiltered coefficient volume (oc_icgn.cpp:1253-1262)."""
+        self._coeff = bspline.tricubic_prepare(self.tar_vol)
+
+    def prepare(self) -> None:
+        self.prepare_ref()
+        self.prepare_tar()
+
+    def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        if self._coeff is None:
+            raise RuntimeError("call prepare() before compute()")
+        rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
+                      self.subset_radius_z)
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+
+        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+            p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
+                self._gx, self._gy, self._gz, self.ref_vol, self._coeff,
+                t.x, t.y, t.z, t.p, t.r[:, poi_mod.R3_ZNCC], conv, max_iter,
+                rx=rx, ry=ry, rz=rz,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R3_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R3_U0]))
+            r = r.at[:, poi_mod.R3_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R3_V0]))
+            r = r.at[:, poi_mod.R3_W0].set(
+                jnp.where(computed, w0, r[:, poi_mod.R3_W0]))
+            r = r.at[:, poi_mod.R3_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R3_ITER]))
+            r = r.at[:, poi_mod.R3_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R3_CONV]))
+            sr = t.sr
+            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+            sr = sr.at[:, 2].set(jnp.where(computed, float(rz), sr[:, 2]))
+            return t.replace(p=p_out, r=r, sr=sr)
+
+        return base.chunked(run, table, self.chunk_size)

@@ -1,0 +1,190 @@
+"""Cubic B-spline interpolation (bicubic 2D, tricubic 3D).
+
+2D — implementation of Z. Pan et al., TAML 6(3):126-130 (2016), matching the
+reference's per-pixel 4x4 coefficient LUT (``oc_cubic_bspline.cpp:84-132``):
+for each interior pixel, the 4x4 grayscale neighborhood Q is mapped to the
+polynomial coefficient matrix C = flip(BC . Q . BC^T) where BC is the fixed
+basis*control matrix (``oc_cubic_bspline.h:52-58``); a query then evaluates the
+bivariate cubic polynomial sum_{k,l} C[k,l] * yd^k * xd^l
+(``oc_cubic_bspline.cpp:134-181``).  Out-of-range queries (x<1, y<1, x>=W-2,
+y>=H-2, or NaN) return the -1.0 sentinel the refinement kernels use to detect
+out-of-bounds warps (``oc_cubic_bspline.cpp:137-141``).
+
+On TPU the LUT is one einsum over 16 shifted copies of the image, stored as
+[H, W, 4, 4] so each query gathers one contiguous 64-byte tile; evaluation is a
+power-basis einsum that XLA fuses with the gather.
+
+3D — implementation of J. Yang et al., OLEN 136:106323 (2021): a global
+separable 15-tap symmetric prefilter along x, y, z with edge clamping (taps
+``oc_cubic_bspline.h:80-90``, loops ``oc_cubic_bspline.cpp:214-351``), then a
+4x4x4 basis-function evaluation per query (``oc_cubic_bspline.cpp:353-405``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.precision import highest_precision
+
+# BC = B * C from oc_cubic_bspline.h:52-58.
+BC_MATRIX = np.array(
+    [
+        [-144.0 / 336.0, 384.0 / 336.0, -384.0 / 336.0, 144.0 / 336.0],
+        [342.0 / 336.0, -702.0 / 336.0, 450.0 / 336.0, -90.0 / 336.0],
+        [-198.0 / 336.0, -18.0 / 336.0, 270.0 / 336.0, -54.0 / 336.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ],
+    dtype=np.float32,
+)
+
+# Symmetric prefilter taps b0..b7 from oc_cubic_bspline.h:80-90.
+BSPLINE_PREFILTER = np.array(
+    [
+        1.732176555412860,
+        -0.464135309171000,
+        0.124364681271139,
+        -0.033323415913556,
+        0.008928982383084,
+        -0.002392513618779,
+        0.000641072092032,
+        -0.000171774749350,
+    ],
+    dtype=np.float32,
+)
+
+
+@highest_precision
+def bicubic_prepare(img: jnp.ndarray) -> jnp.ndarray:
+    """Build the [H, W, 4, 4] coefficient LUT (oc_cubic_bspline.cpp:84-132).
+
+    Border pixels (r<1, r>=H-2, c<1, c>=W-2) keep zero coefficients exactly as
+    the reference leaves them unset; queries never touch them (range guard).
+    """
+    h, w = img.shape
+    bc = jnp.asarray(BC_MATRIX)
+    # q[r, c, n, m] = img[r-1+n, c-1+m] for the interior; build via shifts.
+    interior = jnp.zeros((h, w, 4, 4), jnp.float32)
+    # Stack 16 shifted views of the valid region r in [1, h-3], c in [1, w-3].
+    rows = []
+    for n in range(4):
+        cols = []
+        for m in range(4):
+            cols.append(img[n : n + h - 3, m : m + w - 3])
+        rows.append(jnp.stack(cols, axis=-1))
+    q = jnp.stack(rows, axis=-2)  # [h-3, w-3, 4(n), 4(m)]
+    # mat_p[k, l] = sum_{m,n} BC[l, m] * BC[k, n] * q[n, m]  (cpp:108-120)
+    p = jnp.einsum("kn,hwnm,lm->hwkl", bc, q, bc)
+    # coefficient[k][l] = mat_p[3-k][3-l]  (cpp:123-129)
+    p = p[:, :, ::-1, ::-1]
+    return interior.at[1 : h - 2, 1 : w - 2].set(p)
+
+
+@highest_precision
+def bicubic_eval(lut: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
+    """Evaluate the bicubic spline at float coords.
+
+    Returns ``(value, oob)`` where oob marks queries outside the interpolatable
+    range; their value is the reference's -1.0 sentinel
+    (oc_cubic_bspline.cpp:134-181).
+    """
+    h, w = lut.shape[:2]
+    oob = (
+        (xs < 1)
+        | (ys < 1)
+        | (xs >= w - 2)
+        | (ys >= h - 2)
+        | jnp.isnan(xs)
+        | jnp.isnan(ys)
+    )
+    xq = jnp.clip(xs, 1.0, w - 2.001)
+    yq = jnp.clip(ys, 1.0, h - 2.001)
+    xi = jnp.floor(xq).astype(jnp.int32)
+    yi = jnp.floor(yq).astype(jnp.int32)
+    xd = xq - xi.astype(jnp.float32)
+    yd = yq - yi.astype(jnp.float32)
+    c = lut[yi, xi]  # [..., 4, 4] — one 64B tile per query
+    one = jnp.ones_like(xd)
+    px = jnp.stack([one, xd, xd * xd, xd * xd * xd], axis=-1)
+    py = jnp.stack([one, yd, yd * yd, yd * yd * yd], axis=-1)
+    val = jnp.einsum("...kl,...k,...l->...", c, py, px)
+    return jnp.where(oob, jnp.float32(-1.0), val), oob
+
+
+def _prefilter_axis(vol: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """15-tap symmetric convolution with edge clamping along one axis
+    (oc_cubic_bspline.cpp:223-351).
+
+    The reference clamps only the *outward* side of the stencil near each
+    boundary (``getHigh(k-t, 0)`` at the low edge, ``getLow(k+t, dim-1)`` at the
+    high edge) and never both — mirrored here by clamping the shifted index
+    arrays, which is exactly equivalent because for interior points no clamp
+    fires.
+    """
+    taps = jnp.asarray(BSPLINE_PREFILTER)
+    n = vol.shape[axis]
+    idx = jnp.arange(n)
+    out = taps[0] * vol
+    for t in range(1, 8):
+        lo = jnp.clip(idx - t, 0, n - 1)
+        hi = jnp.clip(idx + t, 0, n - 1)
+        out = out + taps[t] * (
+            jnp.take(vol, lo, axis=axis) + jnp.take(vol, hi, axis=axis)
+        )
+    return out
+
+
+@highest_precision
+def tricubic_prepare(vol: jnp.ndarray) -> jnp.ndarray:
+    """Prefiltered coefficient volume [Z, Y, X] (oc_cubic_bspline.cpp:214-351).
+
+    Axis order matches the reference: x first, then y, then z.
+    """
+    coeff = _prefilter_axis(vol, axis=2)
+    coeff = _prefilter_axis(coeff, axis=1)
+    coeff = _prefilter_axis(coeff, axis=0)
+    return coeff
+
+
+def _basis(d: jnp.ndarray) -> jnp.ndarray:
+    """Cubic B-spline basis functions stacked on the last axis
+    (oc_cubic_bspline.cpp:35-53)."""
+    b0 = (1.0 / 6.0) * (d * (d * (-d + 3.0) - 3.0) + 1.0)
+    b1 = (1.0 / 6.0) * (d * d * (3.0 * d - 6.0) + 4.0)
+    b2 = (1.0 / 6.0) * (d * (d * (-3.0 * d + 3.0) + 3.0) + 1.0)
+    b3 = (1.0 / 6.0) * (d * d * d)
+    return jnp.stack([b0, b1, b2, b3], axis=-1)
+
+
+@highest_precision
+def tricubic_eval(coeff: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                  zs: jnp.ndarray):
+    """Evaluate the tricubic spline at float coords; -1 sentinel outside
+    [1, dim-2) on any axis (oc_cubic_bspline.cpp:353-405)."""
+    dz, dy, dx = coeff.shape
+    oob = (
+        (xs < 1) | (ys < 1) | (zs < 1)
+        | (xs >= dx - 2) | (ys >= dy - 2) | (zs >= dz - 2)
+        | jnp.isnan(xs) | jnp.isnan(ys) | jnp.isnan(zs)
+    )
+    xq = jnp.clip(xs, 1.0, dx - 2.001)
+    yq = jnp.clip(ys, 1.0, dy - 2.001)
+    zq = jnp.clip(zs, 1.0, dz - 2.001)
+    xi = jnp.floor(xq).astype(jnp.int32)
+    yi = jnp.floor(yq).astype(jnp.int32)
+    zi = jnp.floor(zq).astype(jnp.int32)
+    bx = _basis(xq - xi.astype(jnp.float32))  # [..., 4]
+    by = _basis(yq - yi.astype(jnp.float32))
+    bz = _basis(zq - zi.astype(jnp.float32))
+    # Gather the 4x4x4 neighborhood: offsets -1..2 on each axis.
+    off = jnp.arange(-1, 3)
+    zidx = zi[..., None] + off  # [..., 4]
+    yidx = yi[..., None] + off
+    xidx = xi[..., None] + off
+    nb = coeff[
+        zidx[..., :, None, None],
+        yidx[..., None, :, None],
+        xidx[..., None, None, :],
+    ]  # [..., 4, 4, 4]
+    val = jnp.einsum("...ijk,...i,...j,...k->...", nb, bz, by, bx)
+    return jnp.where(oob, jnp.float32(-1.0), val), oob

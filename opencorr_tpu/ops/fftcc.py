@@ -1,0 +1,185 @@
+"""Batched FFT-accelerated zero-mean cross-correlation (integer-pixel initial
+guess).
+
+Reference: ``oc_fftcc.cpp`` — per POI, a 2rx x 2ry (x 2rz) window is filled from
+the reference image at the POI and from the target image displaced by the
+existing initial guess (so FFTCC can be chained after another stage,
+oc_fftcc.cpp:187-219); both windows are zero-meaned (:225-231); the conjugate
+spectral product conj(R).T is inverted (:237-243); the argmax of the circular
+correlation is unwrapped to a signed displacement (:246-266); ZNCC =
+peak / (|ref| |tar|) (:274, FFTW's unnormalized inverse cancels the window-size
+factor).  POIs whose window would cross the image edge are silently skipped
+(:190-196; deformation left unchanged).
+
+TPU design: all windows are gathered at once into [N, 2ry, 2rx] and a single
+batched rfft2/irfft2 handles the queue — the FFTW per-thread plan pool
+(oc_fftcc.cpp:21-46) is replaced by XLA's batched FFT.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _slice2d(img, y0, x0, sh, sw):
+    return jax.lax.dynamic_slice(img, (y0, x0), (sh, sw))
+
+
+def _slice3d(vol, z0, y0, x0, sz, sy, sx):
+    return jax.lax.dynamic_slice(vol, (z0, y0, x0), (sz, sy, sx))
+
+
+@functools.partial(jax.jit, static_argnames=("rx", "ry"))
+def fftcc2d(
+    ref_img: jnp.ndarray,
+    tar_img: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    u_in: jnp.ndarray,
+    v_in: jnp.ndarray,
+    *,
+    rx: int,
+    ry: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (u, v, zncc, valid); invalid POIs keep their inputs."""
+    h, w = ref_img.shape
+    n = xs.shape[0]
+    ww, wh = 2 * rx, 2 * ry
+
+    xi = xs.astype(jnp.int32)  # (int)poi->x — C truncation
+    yi = ys.astype(jnp.int32)
+    txi = (xs + u_in).astype(jnp.int32)  # int(poi->x + u)
+    tyi = (ys + v_in).astype(jnp.int32)
+
+    # Boundary guard (oc_fftcc.cpp:190-196).
+    valid = (
+        (xi >= rx) & (xi < w - rx) & (yi >= ry) & (yi < h - ry)
+        & (txi >= rx) & (txi < w - rx) & (tyi >= ry) & (tyi < h - ry)
+    )
+
+    rx0 = jnp.clip(xi - rx, 0, w - ww)
+    ry0 = jnp.clip(yi - ry, 0, h - wh)
+    tx0 = jnp.clip(txi - rx, 0, w - ww)
+    ty0 = jnp.clip(tyi - ry, 0, h - wh)
+
+    gather = jax.vmap(_slice2d, in_axes=(None, 0, 0, None, None))
+    ref_w = gather(ref_img, ry0, rx0, wh, ww)  # [N, wh, ww]
+    tar_w = gather(tar_img, ty0, tx0, wh, ww)
+
+    ref_zm = ref_w - jnp.mean(ref_w, axis=(1, 2), keepdims=True)
+    tar_zm = tar_w - jnp.mean(tar_w, axis=(1, 2), keepdims=True)
+    ref_norm = jnp.sum(ref_zm * ref_zm, axis=(1, 2))
+    tar_norm = jnp.sum(tar_zm * tar_zm, axis=(1, 2))
+
+    rf = jnp.fft.rfft2(ref_zm)
+    tf = jnp.fft.rfft2(tar_zm)
+    corr = jnp.fft.irfft2(jnp.conj(rf) * tf, s=(wh, ww))  # [N, wh, ww]
+
+    flat = corr.reshape(n, wh * ww)
+    idx = jnp.argmax(flat, axis=1)
+    peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    du = (idx % ww).astype(jnp.int32)
+    dv = (idx // ww).astype(jnp.int32)
+    du = jnp.where(du > rx, du - ww, du)
+    dv = jnp.where(dv > ry, dv - wh, dv)
+
+    u_out = du.astype(jnp.float32) + u_in
+    v_out = dv.astype(jnp.float32) + v_in
+    # numpy's normalized irfft2 already divides by the window size, so
+    # ZNCC = peak / sqrt(ref_norm * tar_norm) (cf. oc_fftcc.cpp:274 where the
+    # unnormalized FFTW inverse needs the explicit / subset_size).
+    zncc = peak / jnp.sqrt(ref_norm * tar_norm)
+
+    return (
+        jnp.where(valid, u_out, u_in),
+        jnp.where(valid, v_out, v_in),
+        zncc,
+        valid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rx", "ry", "rz"))
+def fftcc3d(
+    ref_vol: jnp.ndarray,
+    tar_vol: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    u_in: jnp.ndarray,
+    v_in: jnp.ndarray,
+    w_in: jnp.ndarray,
+    *,
+    rx: int,
+    ry: int,
+    rz: int,
+):
+    """3D FFTCC (oc_fftcc.cpp:327-427). Returns (u, v, w, zncc, valid).
+
+    The reference 3D path has no boundary guard; one is added here (windows that
+    would cross the volume edge are skipped like the 2D path) since a clamped
+    gather would silently correlate wrong data.
+    """
+    dz, dy, dx = ref_vol.shape
+    n = xs.shape[0]
+    wx, wy, wz = 2 * rx, 2 * ry, 2 * rz
+
+    xi = xs.astype(jnp.int32)
+    yi = ys.astype(jnp.int32)
+    zi = zs.astype(jnp.int32)
+    txi = (xs + u_in).astype(jnp.int32)
+    tyi = (ys + v_in).astype(jnp.int32)
+    tzi = (zs + w_in).astype(jnp.int32)
+
+    valid = (
+        (xi >= rx) & (xi < dx - rx) & (yi >= ry) & (yi < dy - ry)
+        & (zi >= rz) & (zi < dz - rz)
+        & (txi >= rx) & (txi < dx - rx) & (tyi >= ry) & (tyi < dy - ry)
+        & (tzi >= rz) & (tzi < dz - rz)
+    )
+
+    rx0 = jnp.clip(xi - rx, 0, dx - wx)
+    ry0 = jnp.clip(yi - ry, 0, dy - wy)
+    rz0 = jnp.clip(zi - rz, 0, dz - wz)
+    tx0 = jnp.clip(txi - rx, 0, dx - wx)
+    ty0 = jnp.clip(tyi - ry, 0, dy - wy)
+    tz0 = jnp.clip(tzi - rz, 0, dz - wz)
+
+    gather = jax.vmap(_slice3d, in_axes=(None, 0, 0, 0, None, None, None))
+    ref_w = gather(ref_vol, rz0, ry0, rx0, wz, wy, wx)  # [N, wz, wy, wx]
+    tar_w = gather(tar_vol, tz0, ty0, tx0, wz, wy, wx)
+
+    ref_zm = ref_w - jnp.mean(ref_w, axis=(1, 2, 3), keepdims=True)
+    tar_zm = tar_w - jnp.mean(tar_w, axis=(1, 2, 3), keepdims=True)
+    ref_norm = jnp.sum(ref_zm * ref_zm, axis=(1, 2, 3))
+    tar_norm = jnp.sum(tar_zm * tar_zm, axis=(1, 2, 3))
+
+    rf = jnp.fft.rfftn(ref_zm, axes=(1, 2, 3))
+    tf = jnp.fft.rfftn(tar_zm, axes=(1, 2, 3))
+    corr = jnp.fft.irfftn(jnp.conj(rf) * tf, s=(wz, wy, wx), axes=(1, 2, 3))
+
+    flat = corr.reshape(n, wz * wy * wx)
+    idx = jnp.argmax(flat, axis=1)
+    peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    du = (idx % wx).astype(jnp.int32)
+    dv = ((idx // wx) % wy).astype(jnp.int32)
+    dw = (idx // (wx * wy)).astype(jnp.int32)
+    du = jnp.where(du > rx, du - wx, du)
+    dv = jnp.where(dv > ry, dv - wy, dv)
+    dw = jnp.where(dw > rz, dw - wz, dw)
+
+    u_out = du.astype(jnp.float32) + u_in
+    v_out = dv.astype(jnp.float32) + v_in
+    w_out = dw.astype(jnp.float32) + w_in
+    zncc = peak / jnp.sqrt(ref_norm * tar_norm)
+
+    return (
+        jnp.where(valid, u_out, u_in),
+        jnp.where(valid, v_out, v_in),
+        jnp.where(valid, w_out, w_in),
+        zncc,
+        valid,
+    )

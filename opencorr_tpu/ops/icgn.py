@@ -1,0 +1,424 @@
+"""Batched inverse-compositional Gauss-Newton (IC-GN) refinement.
+
+Reference semantics: ``oc_icgn.cpp`` — per POI: entry guard (bounds / NaN /
+prior failure -> ZNCC -3, oc_icgn.cpp:160-167); reference subset + zero-mean
+norm (:174-176); steepest-descent images and KxK Hessian accumulated once from
+the reference gradients (:179-207); Hessian inverted once (:210); then iterate
+(do-while, at most ``stop_condition`` times, oc_icgn.cpp:225-307): warp the
+local grid with the current shape function, sample the target via the B-spline
+LUT, reject the POI if any sample is out of range (-1 sentinel -> ZNCC -3,
+:251-255), error image = tar*(rn/tn) - ref (:260), ZNSSD = |err|^2/rn^2 (:263),
+dp = H^-1 . (sd^T err) (:266-287), inverse-compositional update
+W <- W . W(dp)^-1 (:290), convergence norm weighted by the subset radii
+(:296-306).  Exit codes -4 (not converged, :329-332) and -5 (NaN, :335-340).
+
+TPU design: the POI queue is the batch axis.  Every POI runs the same
+fixed-shape iteration inside one ``lax.while_loop`` with a per-POI ``active``
+mask; converged/failed POIs freeze their state, and the loop ends when all are
+inactive (identical per-POI results to the reference's data-dependent loop).
+Hessian solves are batched ``jnp.linalg.inv`` on [N, K, K]; interpolation is a
+contiguous-tile gather + einsum (see ops/bspline.py).
+
+The stereo ``center_offset`` variant (oc_icgn.cpp:353-560) is the same kernel
+with a per-POI float offset of the target-subset center and of the local
+coordinates used for the steepest-descent images; passing zeros reproduces the
+plain path bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import bspline, warp as warp_ops
+from ..utils.precision import highest_precision
+
+
+def _slice2d(img, y0, x0, sh, sw):
+    return jax.lax.dynamic_slice(img, (y0, x0), (sh, sw))
+
+
+def gather_subsets_2d(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
+                      rx: int, ry: int) -> jnp.ndarray:
+    """[N] int corner coords -> [N, 2ry+1, 2rx+1] windows."""
+    sh, sw = 2 * ry + 1, 2 * rx + 1
+    return jax.vmap(_slice2d, in_axes=(None, 0, 0, None, None))(
+        img, y0, x0, sh, sw
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "rx", "ry")
+)
+@highest_precision
+def icgn2d(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    ref_img: jnp.ndarray,
+    tar_lut: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    p_in: jnp.ndarray,  # [N, 12] full deformation vector (2D layout)
+    zncc_in: jnp.ndarray,  # [N]
+    conv: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    center_offset: Optional[jnp.ndarray],  # [N, 2] or None
+    *,
+    order: int,
+    rx: int,
+    ry: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (p_out[N,12], u0, v0, zncc, iteration, convergence, computed)."""
+    h, w = ref_img.shape
+    n = xs.shape[0]
+    sh, sw = 2 * ry + 1, 2 * rx + 1
+    s = sh * sw
+    k = 6 if order == 1 else 12
+    f32 = jnp.float32
+
+    if center_offset is None:
+        center_offset = jnp.zeros((n, 2), f32)
+    ox, oy = center_offset[:, 0], center_offset[:, 1]
+
+    u_in = p_in[:, 0]
+    v_in = p_in[:, 6]
+    # Entry guard (oc_icgn.cpp:160-167).
+    valid = (
+        (ys - ry >= 0)
+        & (xs - rx >= 0)
+        & (ys + ry <= h - 1)
+        & (xs + rx <= w - 1)
+        & (jnp.abs(u_in) < w)
+        & (jnp.abs(v_in) < h)
+        & (zncc_in >= 0)
+        & ~jnp.isnan(u_in)
+        & ~jnp.isnan(v_in)
+    )
+
+    xi = xs.astype(jnp.int32)  # C-style truncation, (int)poi->x
+    yi = ys.astype(jnp.int32)
+    x0 = jnp.clip(xi - rx, 0, w - sw)
+    y0 = jnp.clip(yi - ry, 0, h - sh)
+
+    # Reference subset, zero-mean norm (oc_subset.cpp:39-53).
+    ref_sub = gather_subsets_2d(ref_img, x0, y0, rx, ry).reshape(n, s)
+    ref_mean = jnp.mean(ref_sub, axis=1, keepdims=True)
+    ref_zm = ref_sub - ref_mean
+    rn = jnp.sqrt(jnp.sum(ref_zm * ref_zm, axis=1))  # [N]
+
+    # Local integer grid (x fastest, row-major like the reference loops).
+    dyg, dxg = jnp.meshgrid(
+        jnp.arange(-ry, ry + 1, dtype=f32),
+        jnp.arange(-rx, rx + 1, dtype=f32),
+        indexing="ij",
+    )
+    xl_i = dxg.reshape(-1)  # [S] integer-valued local coords
+    yl_i = dyg.reshape(-1)
+    # Offset local coords used for sd images and warping (oc_icgn.cpp:400-408).
+    xl = xl_i[None, :] - ox[:, None]  # [N, S]
+    yl = yl_i[None, :] - oy[:, None]
+
+    # Steepest-descent images + Hessian (oc_icgn.cpp:179-210, :719-759).
+    gxs = gather_subsets_2d(gx, x0, y0, rx, ry).reshape(n, s)
+    gys = gather_subsets_2d(gy, x0, y0, rx, ry).reshape(n, s)
+    if order == 1:
+        sd = jnp.stack(
+            [gxs, gxs * xl, gxs * yl, gys, gys * xl, gys * yl], axis=-1
+        )  # [N, S, 6]
+    else:
+        xx = xl * xl * 0.5
+        xy = xl * yl
+        yy = yl * yl * 0.5
+        sd = jnp.stack(
+            [
+                gxs, gxs * xl, gxs * yl, gxs * xx, gxs * xy, gxs * yy,
+                gys, gys * xl, gys * yl, gys * xx, gys * xy, gys * yy,
+            ],
+            axis=-1,
+        )  # [N, S, 12]
+    hess = jnp.einsum("nsi,nsj->nij", sd, sd)
+    hinv = jnp.linalg.inv(hess)
+
+    # Initial guess: always the first-order part (oc_icgn.cpp:216, :765).
+    p6_init = p_in[:, jnp.array([0, 1, 2, 6, 7, 8])]
+    if order == 1:
+        wmat0 = warp_ops.warp2d1_from_p(p6_init)
+        warp_from_p = warp_ops.warp2d1_from_p
+        p_from_warp = warp_ops.p_from_warp2d1
+    else:
+        p12_init = jnp.zeros((n, 12), f32)
+        p12_init = p12_init.at[:, jnp.array([0, 1, 2, 6, 7, 8])].set(p6_init)
+        wmat0 = warp_ops.warp2d2_from_p(p12_init)
+        warp_from_p = warp_ops.warp2d2_from_p
+        p_from_warp = warp_ops.p_from_warp2d2
+
+    tar_cx = xs + ox  # target subset center (oc_icgn.cpp:425-426)
+    tar_cy = ys + oy
+
+    rx2 = f32(rx * rx)
+    ry2 = f32(ry * ry)
+    # Convergence-norm weights (oc_icgn.cpp:296-306, :836-856).  The reference
+    # computes the 2nd-order r^4 weights as ints truncated from r^4/4
+    # (oc_icgn.cpp:840-841) — reproduced exactly.
+    rxy2 = f32(rx * rx * ry * ry)
+    rx4 = f32(int(rx * rx * rx * rx * 0.25))
+    ry4 = f32(int(ry * ry * ry * ry * 0.25))
+    if order == 1:
+        dp_w = jnp.array([1.0, rx2, ry2, 1.0, rx2, ry2], f32)
+    else:
+        dp_w = jnp.array(
+            [1.0, rx2, ry2, rx4, rxy2, ry4, 1.0, rx2, ry2, rx4, rxy2, ry4], f32
+        )
+
+    def body(state):
+        wmat, active, it, dpn, znssd, oob_fail = state
+        # Warp the local grid (oc_deformation.cpp:94-105 / :268-282).
+        if order == 1:
+            pv = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)  # [N,S,3]
+            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, :2, :], pv)
+        else:
+            pv = jnp.stack(
+                [xl * xl, xl * yl, yl * yl, xl, yl, jnp.ones_like(xl)], axis=-1
+            )
+            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, 3:5, :], pv)
+        gx_c = tar_cx[:, None] + wxy[..., 0]
+        gy_c = tar_cy[:, None] + wxy[..., 1]
+        tval, _ = bspline.bicubic_eval(tar_lut, gx_c, gy_c)
+
+        # Out-of-range detection via the -1 sentinel (oc_icgn.cpp:244-255).
+        fail_now = jnp.any(tval < 0.0, axis=1) & active
+
+        tar_mean = jnp.mean(tval, axis=1, keepdims=True)
+        tar_zm = tval - tar_mean
+        tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
+        err = tar_zm * (rn / tn)[:, None] - ref_zm
+        znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
+        num = jnp.einsum("nsi,ns->ni", sd, err)
+        dp = jnp.einsum("nij,nj->ni", hinv, num)
+        winc = warp_from_p(dp)
+        wmat_new = wmat @ jnp.linalg.inv(winc)
+        dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
+
+        step = active & ~fail_now
+        wmat = jnp.where(step[:, None, None], wmat_new, wmat)
+        znssd = jnp.where(step, znssd_new, znssd)
+        dpn = jnp.where(step, dpn_new, dpn)
+        it = jnp.where(step, it + 1.0, it)
+        oob_fail = oob_fail | fail_now
+        active = step & (dpn >= conv) & (it < max_iter)
+        return wmat, active, it, dpn, znssd, oob_fail
+
+    state0 = (
+        wmat0,
+        valid,
+        jnp.zeros(n, f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, jnp.bool_),
+    )
+    wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
+        lambda st: jnp.any(st[1]), body, state0
+    )
+
+    computed = valid & ~oob_fail
+    p_new = p_from_warp(wmat)  # [N, 6] or [N, 12]
+    zncc = 0.5 * (2.0 - znssd)
+    # Not-converged code (oc_icgn.cpp:329-332).
+    zncc = jnp.where((dpn >= conv) & (it >= max_iter), f32(-4.0), zncc)
+
+    if order == 1:
+        u_new, v_new = p_new[:, 0], p_new[:, 3]
+    else:
+        u_new, v_new = p_new[:, 0], p_new[:, 6]
+    # NaN fallback (oc_icgn.cpp:335-340): restore u, v to the initial guess.
+    isnan = jnp.isnan(zncc) | jnp.isnan(u_new) | jnp.isnan(v_new)
+    zncc = jnp.where(isnan, f32(-5.0), zncc)
+    if order == 1:
+        p_new = p_new.at[:, 0].set(jnp.where(isnan, u_in, p_new[:, 0]))
+        p_new = p_new.at[:, 3].set(jnp.where(isnan, v_in, p_new[:, 3]))
+    else:
+        p_new = p_new.at[:, 0].set(jnp.where(isnan, u_in, p_new[:, 0]))
+        p_new = p_new.at[:, 6].set(jnp.where(isnan, v_in, p_new[:, 6]))
+
+    # Merge updated components back into the 12-dof table rows.
+    p_out = p_in
+    if order == 1:
+        for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
+            p_out = p_out.at[:, dst].set(
+                jnp.where(computed, p_new[:, src], p_in[:, dst])
+            )
+    else:
+        p_out = jnp.where(computed[:, None], p_new, p_in)
+
+    # Failure ZNCC for guarded-out POIs (oc_icgn.cpp:165).
+    zncc_guard = jnp.where(zncc_in >= 0, f32(-3.0), zncc_in)
+    zncc_out = jnp.where(valid, jnp.where(oob_fail, f32(-3.0), zncc), zncc_guard)
+
+    return p_out, u_in, v_in, zncc_out, it, dpn, computed
+
+
+def _slice3d(vol, z0, y0, x0, sz, sy, sx):
+    return jax.lax.dynamic_slice(vol, (z0, y0, x0), (sz, sy, sx))
+
+
+def gather_subsets_3d(vol, x0, y0, z0, rx, ry, rz):
+    sz, sy, sx = 2 * rz + 1, 2 * ry + 1, 2 * rx + 1
+    return jax.vmap(_slice3d, in_axes=(None, 0, 0, 0, None, None, None))(
+        vol, z0, y0, x0, sz, sy, sx
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rx", "ry", "rz"))
+@highest_precision
+def icgn3d1(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    gz: jnp.ndarray,
+    ref_vol: jnp.ndarray,
+    tar_coeff: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    p_in: jnp.ndarray,  # [N, 12] 3D layout
+    zncc_in: jnp.ndarray,
+    conv: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    rx: int,
+    ry: int,
+    rz: int,
+):
+    """3D IC-GN (oc_icgn.cpp:1270-1490). Returns
+    (p_out, u0, v0, w0, zncc, iteration, convergence, computed)."""
+    dz, dy, dx = ref_vol.shape
+    n = xs.shape[0]
+    sx, sy, sz = 2 * rx + 1, 2 * ry + 1, 2 * rz + 1
+    s = sx * sy * sz
+    f32 = jnp.float32
+
+    u_in, v_in, w_in = p_in[:, 0], p_in[:, 4], p_in[:, 8]
+    valid = (
+        (xs - rx >= 0) & (ys - ry >= 0) & (zs - rz >= 0)
+        & (xs + rx <= dx - 1) & (ys + ry <= dy - 1) & (zs + rz <= dz - 1)
+        & (jnp.abs(u_in) < dx) & (jnp.abs(v_in) < dy) & (jnp.abs(w_in) < dz)
+        & (zncc_in >= 0)
+        & ~jnp.isnan(u_in) & ~jnp.isnan(v_in) & ~jnp.isnan(w_in)
+    )
+
+    xi = xs.astype(jnp.int32)
+    yi = ys.astype(jnp.int32)
+    zi = zs.astype(jnp.int32)
+    x0 = jnp.clip(xi - rx, 0, dx - sx)
+    y0 = jnp.clip(yi - ry, 0, dy - sy)
+    z0 = jnp.clip(zi - rz, 0, dz - sz)
+
+    ref_sub = gather_subsets_3d(ref_vol, x0, y0, z0, rx, ry, rz).reshape(n, s)
+    ref_mean = jnp.mean(ref_sub, axis=1, keepdims=True)
+    ref_zm = ref_sub - ref_mean
+    rn = jnp.sqrt(jnp.sum(ref_zm * ref_zm, axis=1))
+
+    zg, yg, xg = jnp.meshgrid(
+        jnp.arange(-rz, rz + 1, dtype=f32),
+        jnp.arange(-ry, ry + 1, dtype=f32),
+        jnp.arange(-rx, rx + 1, dtype=f32),
+        indexing="ij",
+    )
+    xl = xg.reshape(-1)[None, :]
+    yl = yg.reshape(-1)[None, :]
+    zl = zg.reshape(-1)[None, :]
+
+    gxs = gather_subsets_3d(gx, x0, y0, z0, rx, ry, rz).reshape(n, s)
+    gys = gather_subsets_3d(gy, x0, y0, z0, rx, ry, rz).reshape(n, s)
+    gzs = gather_subsets_3d(gz, x0, y0, z0, rx, ry, rz).reshape(n, s)
+    # sd channel order matches the 3D p layout (oc_icgn.cpp:1314-1325).
+    sd = jnp.stack(
+        [
+            gxs, gxs * xl, gxs * yl, gxs * zl,
+            gys, gys * xl, gys * yl, gys * zl,
+            gzs, gzs * xl, gzs * yl, gzs * zl,
+        ],
+        axis=-1,
+    )  # [N, S, 12]
+    hess = jnp.einsum("nsi,nsj->nij", sd, sd)
+    hinv = jnp.linalg.inv(hess)
+
+    wmat0 = warp_ops.warp3d1_from_p(p_in)
+
+    def body(state):
+        wmat, active, it, dpn, znssd, oob_fail = state
+        # Warp local grid: [N, 3] rows of the 4x4 matrix applied to (x,y,z,1).
+        wx = (
+            wmat[:, 0, 0, None] * xl + wmat[:, 0, 1, None] * yl
+            + wmat[:, 0, 2, None] * zl + wmat[:, 0, 3, None]
+        )
+        wy = (
+            wmat[:, 1, 0, None] * xl + wmat[:, 1, 1, None] * yl
+            + wmat[:, 1, 2, None] * zl + wmat[:, 1, 3, None]
+        )
+        wz = (
+            wmat[:, 2, 0, None] * xl + wmat[:, 2, 1, None] * yl
+            + wmat[:, 2, 2, None] * zl + wmat[:, 2, 3, None]
+        )
+        gxc = xs[:, None] + wx
+        gyc = ys[:, None] + wy
+        gzc = zs[:, None] + wz
+        tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)
+        fail_now = jnp.any(tval < 0.0, axis=1) & active
+
+        tar_mean = jnp.mean(tval, axis=1, keepdims=True)
+        tar_zm = tval - tar_mean
+        tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
+        err = tar_zm * (rn / tn)[:, None] - ref_zm
+        znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
+        num = jnp.einsum("nsi,ns->ni", sd, err)
+        dp = jnp.einsum("nij,nj->ni", hinv, num)
+        winc = warp_ops.warp3d1_from_p(dp)
+        wmat_new = wmat @ jnp.linalg.inv(winc)
+        # 3D convergence norm uses displacements only (oc_icgn.cpp:1445).
+        dpn_new = jnp.sqrt(
+            dp[:, 0] ** 2 + dp[:, 4] ** 2 + dp[:, 8] ** 2
+        )
+
+        step = active & ~fail_now
+        wmat = jnp.where(step[:, None, None], wmat_new, wmat)
+        znssd = jnp.where(step, znssd_new, znssd)
+        dpn = jnp.where(step, dpn_new, dpn)
+        it = jnp.where(step, it + 1.0, it)
+        oob_fail = oob_fail | fail_now
+        active = step & (dpn >= conv) & (it < max_iter)
+        return wmat, active, it, dpn, znssd, oob_fail
+
+    state0 = (
+        wmat0,
+        valid,
+        jnp.zeros(n, f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, f32),
+        jnp.zeros(n, jnp.bool_),
+    )
+    wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
+        lambda st: jnp.any(st[1]), body, state0
+    )
+
+    computed = valid & ~oob_fail
+    p_new = warp_ops.p_from_warp3d1(wmat)
+    zncc = 0.5 * (2.0 - znssd)
+    zncc = jnp.where((dpn >= conv) & (it >= max_iter), f32(-4.0), zncc)
+    isnan = (
+        jnp.isnan(zncc)
+        | jnp.isnan(p_new[:, 0])
+        | jnp.isnan(p_new[:, 4])
+        | jnp.isnan(p_new[:, 8])
+    )
+    zncc = jnp.where(isnan, f32(-5.0), zncc)
+    p_new = p_new.at[:, 0].set(jnp.where(isnan, u_in, p_new[:, 0]))
+    p_new = p_new.at[:, 4].set(jnp.where(isnan, v_in, p_new[:, 4]))
+    p_new = p_new.at[:, 8].set(jnp.where(isnan, w_in, p_new[:, 8]))
+
+    p_out = jnp.where(computed[:, None], p_new, p_in)
+    zncc_guard = jnp.where(zncc_in >= 0, f32(-3.0), zncc_in)
+    zncc_out = jnp.where(valid, jnp.where(oob_fail, f32(-3.0), zncc), zncc_guard)
+    return p_out, u_in, v_in, w_in, zncc_out, it, dpn, computed
