@@ -21,6 +21,7 @@ from .data.poi import (
 )
 from .models.fftcc import FFTCC2D, FFTCC3D
 from .models.icgn import ICGN2D1, ICGN2D2, ICGN3D1
+from .models.strain import Strain
 
 __all__ = [
     "Image2D",
@@ -38,6 +39,7 @@ __all__ = [
     "ICGN2D1",
     "ICGN2D2",
     "ICGN3D1",
+    "Strain",
 ]
 
 __version__ = "0.1.0"

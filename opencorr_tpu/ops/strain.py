@@ -28,8 +28,9 @@ from ..utils.precision import highest_precision
 
 
 def _solve_sym(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve a x = b for small symmetric PD-ish systems, batched."""
-    return jnp.linalg.solve(a, b)
+    """Solve a x = b for small symmetric PD-ish systems, batched
+    ([..., K, K] @ [..., K])."""
+    return jnp.linalg.solve(a, b[..., None])[..., 0]
 
 
 @functools.partial(jax.jit, static_argnames=("approximation",))
@@ -128,6 +129,119 @@ def strain2d(
     fit_count = jnp.sum(wf, axis=1)
     do = (qzncc >= zncc_threshold) & (fit_count >= neighbor_min)
     e_new = jnp.stack([exx, eyy, exy], axis=-1)
+    return jnp.where(do[:, None], e_new, qe_in)
+
+
+@functools.partial(jax.jit, static_argnames=("approximation",))
+@highest_precision
+def strain2ds(
+    sx2: jnp.ndarray,  # [N] 2D image coords used for the neighbor search
+    sy2: jnp.ndarray,
+    xs: jnp.ndarray,  # [N] 3D reconstructed ref coords used for the fit
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    us: jnp.ndarray,
+    vs: jnp.ndarray,
+    ws: jnp.ndarray,
+    zncc: jnp.ndarray,  # [N] min of the three stereo ZNCCs
+    qx2: jnp.ndarray,  # [C] query 2D coords
+    qy2: jnp.ndarray,
+    qx: jnp.ndarray,  # [C] query 3D ref coords
+    qy: jnp.ndarray,
+    qz: jnp.ndarray,
+    qzncc: jnp.ndarray,
+    qe_in: jnp.ndarray,  # [C, 6]
+    radius: jnp.ndarray,
+    zncc_threshold: jnp.ndarray,
+    neighbor_min: jnp.ndarray,
+    *,
+    approximation: int,
+) -> jnp.ndarray:
+    """Stereo strain (oc_strain.cpp:250-355): neighbors found on the 2D image
+    grid, displacement gradients fitted against 3D ``ref_coor`` deltas."""
+    f32 = jnp.float32
+    xc, yc, zc = jnp.mean(qx), jnp.mean(qy), jnp.mean(qz)
+    px, py, pz = xs - xc, ys - yc, zs - zc
+    pu = us - jnp.mean(us)
+    pv = vs - jnp.mean(vs)
+    pw = ws - jnp.mean(ws)
+    qx_, qy_, qz_ = qx - xc, qy - yc, qz - zc
+
+    d2 = (qx2[:, None] - sx2[None, :]) ** 2 + (qy2[:, None] - sy2[None, :]) ** 2
+    in_radius = d2 < radius * radius
+    nr = jnp.sum(in_radius, axis=1)
+
+    kmax = 32
+    neg_top, _ = jax.lax.top_k(-d2, kmax)
+    ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
+    kth = -neg_top[jnp.arange(qx.shape[0]), ks]
+    knn_mask = d2 <= kth[:, None]
+
+    good = zncc >= zncc_threshold
+    use_radius = nr >= neighbor_min
+    w = jnp.where(use_radius[:, None], in_radius, knn_mask) & good[None, :]
+    wf = w.astype(f32)
+
+    one = jnp.ones_like(px)
+    feats = jnp.stack(
+        [one, px, py, pz,
+         px * px, px * py, px * pz, py * py, py * pz, pz * pz,
+         pu, px * pu, py * pu, pz * pu,
+         pv, px * pv, py * pv, pz * pv,
+         pw, px * pw, py * pw, pz * pw],
+        axis=-1,
+    )
+    m = wf @ feats
+    (s0, sx, sy, sz, sxx, sxy, sxz, syy, syz, szz,
+     su, sxu, syu, szu, sv, sxv, syv, szv, sw, sxw, syw, szw) = (
+        m[:, i] for i in range(22)
+    )
+
+    a01 = sx - qx_ * s0
+    a02 = sy - qy_ * s0
+    a03 = sz - qz_ * s0
+    a11 = sxx - 2 * qx_ * sx + qx_ * qx_ * s0
+    a12 = sxy - qx_ * sy - qy_ * sx + qx_ * qy_ * s0
+    a13 = sxz - qx_ * sz - qz_ * sx + qx_ * qz_ * s0
+    a22 = syy - 2 * qy_ * sy + qy_ * qy_ * s0
+    a23 = syz - qy_ * sz - qz_ * sy + qy_ * qz_ * s0
+    a33 = szz - 2 * qz_ * sz + qz_ * qz_ * s0
+    amat = jnp.stack(
+        [
+            jnp.stack([s0, a01, a02, a03], -1),
+            jnp.stack([a01, a11, a12, a13], -1),
+            jnp.stack([a02, a12, a22, a23], -1),
+            jnp.stack([a03, a13, a23, a33], -1),
+        ],
+        axis=-2,
+    )
+
+    def rhs(s, sxs, sys, szs):
+        return jnp.stack([s, sxs - qx_ * s, sys - qy_ * s, szs - qz_ * s], -1)
+
+    gu = _solve_sym(amat, rhs(su, sxu, syu, szu))
+    gv = _solve_sym(amat, rhs(sv, sxv, syv, szv))
+    gw = _solve_sym(amat, rhs(sw, sxw, syw, szw))
+    ux, uy, uz = gu[:, 1], gu[:, 2], gu[:, 3]
+    vx, vy, vz = gv[:, 1], gv[:, 2], gv[:, 3]
+    wx, wy, wz = gw[:, 1], gw[:, 2], gw[:, 3]
+
+    if approximation == 1:
+        exx, eyy, ezz = ux, vy, wz
+        exy = 0.5 * (uy + vx)
+        eyz = 0.5 * (vz + wy)
+        ezx = 0.5 * (wx + uz)
+    else:
+        exx = ux + 0.5 * (ux * ux + vx * vx + wx * wx)
+        eyy = vy + 0.5 * (uy * uy + vy * vy + wy * wy)
+        ezz = wz + 0.5 * (uz * uz + vz * vz + wz * wz)
+        exy = 0.5 * (uy + vx + uy * ux + vy * vx + wy * wx)
+        eyz = 0.5 * (vz + wy + uz * uy + vz * vy + wz * wy)
+        ezx = 0.5 * (wx + uz + ux * uz + vx * vz + wx * wz)
+
+    fit_count = jnp.sum(wf, axis=1)
+    do = (qzncc >= zncc_threshold) & (fit_count >= neighbor_min)
+    e_new = jnp.stack([exx, eyy, ezz, exy, eyz, ezx], axis=-1)
     return jnp.where(do[:, None], e_new, qe_in)
 
 

@@ -1,0 +1,67 @@
+"""Golden-file regression vs the reference's committed result tables
+(SURVEY.md §4: the reference's own test model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import opencorr_tpu as oc
+
+GOLD_2D = "/root/reference/examples/2d_dic"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLD_2D), reason="reference goldens not mounted"
+)
+
+
+def test_fftcc_icgn1_vs_golden_subsample():
+    """test_2d_dic_fftcc_icgn1 on a 1/10 subsample of the 30k POI grid: the
+    displacement field must match the committed golden within 0.01 px mean."""
+    ref = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_0.bmp")
+    tar = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_4.bmp")
+    gold = np.genfromtxt(f"{GOLD_2D}/oht_cfrp_4_fftcc_icgn1_r16.csv",
+                         delimiter=",", skip_header=1)
+    idx = np.arange(0, gold.shape[0], 10)
+    g = gold[idx]
+    pois = oc.new_table_2d(g[:, 0], g[:, 1])
+
+    f = oc.FFTCC2D(16, 16)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    # >=90% of integer guesses match the golden u0/v0 exactly (the rest are
+    # +-1 px correlation-peak ties).
+    u0 = np.asarray(pois.u)
+    v0 = np.asarray(pois.v)
+    assert ((u0 == g[:, 4]) & (v0 == g[:, 5])).mean() > 0.9
+
+    icgn = oc.ICGN2D1(16, 16, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    pois = icgn.compute(pois)
+    u = np.asarray(pois.u)
+    v = np.asarray(pois.v)
+    z = np.asarray(pois.zncc)
+    ok = (g[:, 6] > 0) & (z > 0)
+    assert ok.mean() > 0.9
+    du = np.abs(u - g[:, 2])[ok]
+    dv = np.abs(v - g[:, 3])[ok]
+    assert du.mean() < 0.01, du.mean()
+    assert dv.mean() < 0.01, dv.mean()
+    # ZNCC agreement
+    assert np.abs(z - g[:, 6])[ok].mean() < 1e-3
+
+
+def test_load_golden_table_roundtrip(tmp_path):
+    from opencorr_tpu.io import table as io_table
+
+    t = io_table.load_table_2d(f"{GOLD_2D}/oht_cfrp_4_fftcc_icgn1_r16.csv")
+    assert t.n == 30000
+    assert abs(float(t.x[0]) - 30.0) < 1e-6
+    assert abs(float(t.p[0, 0]) - (-0.41521394)) < 1e-6
+    # write back and re-read
+    out = tmp_path / "x.csv"
+    io_table.save_table_2d(str(out), t)
+    t2 = io_table.load_table_2d(str(out))
+    assert np.allclose(np.asarray(t.p), np.asarray(t2.p), atol=1e-6)
+    assert np.allclose(np.asarray(t.r), np.asarray(t2.r), atol=1e-6)

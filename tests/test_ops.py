@@ -1,0 +1,174 @@
+"""Unit tests for the L2 kernels: gradients, B-splines, warps.
+
+Mirrors the reference test strategy (SURVEY.md §4): analytic cases plus values
+recomputed from the reference formulas in float64 numpy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opencorr_tpu.ops import bspline, gradient, warp as warp_ops
+
+
+class TestGradient:
+    def test_polynomial_exact_2d(self):
+        # 4th-order stencil differentiates cubics exactly.
+        y, x = np.mgrid[0:32, 0:40].astype(np.float32)
+        img = 0.5 * x**3 / 100 + 2 * x + 3 * y + 7
+        gx = np.asarray(gradient.gradient_x_2d(jnp.asarray(img)))
+        expect = 1.5 * x**2 / 100 + 2
+        assert np.allclose(gx[:, 2:-2], expect[:, 2:-2], atol=1e-3)
+        assert (gx[:, :2] == 0).all() and (gx[:, -2:] == 0).all()
+
+    def test_reference_stencil_values_2d(self):
+        # Recompute one pixel with the reference formula (oc_gradient.cpp:49-54).
+        rng = np.random.default_rng(0)
+        img = rng.random((8, 9)).astype(np.float32) * 255
+        gy = np.asarray(gradient.gradient_y_2d(jnp.asarray(img)))
+        r, c = 4, 3
+        want = (-img[r + 2, c] / 12 + img[r + 1, c] * 2 / 3
+                - img[r - 1, c] * 2 / 3 + img[r - 2, c] / 12)
+        assert abs(gy[r, c] - want) < 1e-4
+
+    def test_polynomial_exact_3d(self):
+        z, y, x = np.mgrid[0:16, 0:17, 0:18].astype(np.float32)
+        vol = x * 2 + y * y * 0.1 + z * 3
+        gy = np.asarray(gradient.gradient_y_3d(jnp.asarray(vol)))
+        gz = np.asarray(gradient.gradient_z_3d(jnp.asarray(vol)))
+        assert np.allclose(gy[:, 2:-2, :], 0.2 * y[:, 2:-2, :], atol=1e-3)
+        assert np.allclose(gz[2:-2], 3.0, atol=1e-3)
+
+
+class TestBicubic:
+    def test_interpolates_at_integer_points(self):
+        rng = np.random.default_rng(1)
+        img = rng.random((20, 24)).astype(np.float32) * 255
+        lut = bspline.bicubic_prepare(jnp.asarray(img))
+        ys, xs = np.mgrid[2:17, 2:21]
+        vals, oob = bspline.bicubic_eval(
+            lut, jnp.asarray(xs.ravel(), jnp.float32),
+            jnp.asarray(ys.ravel(), jnp.float32))
+        # Pan et al.'s LUT passes through the samples at integer locations.
+        assert not bool(np.asarray(oob).any())
+        assert np.allclose(np.asarray(vals), img[ys.ravel(), xs.ravel()],
+                           atol=0.51)
+
+    def test_matches_reference_formula(self):
+        """Cross-check against a float64 transcription of
+        oc_cubic_bspline.cpp:84-181."""
+        rng = np.random.default_rng(2)
+        img = rng.random((12, 13)).astype(np.float32) * 255
+        lut = bspline.bicubic_prepare(jnp.asarray(img))
+        bc = bspline.BC_MATRIX.astype(np.float64)
+
+        def ref_eval(x, y):
+            xi, yi = int(np.floor(x)), int(np.floor(y))
+            q = img[yi - 1 : yi + 3, xi - 1 : xi + 3].astype(np.float64)
+            p = np.zeros((4, 4))
+            for k in range(4):
+                for l in range(4):
+                    for m in range(4):
+                        for n in range(4):
+                            p[k, l] += bc[l, m] * bc[k, n] * q[n, m]
+            c = p[::-1, ::-1]
+            xd, yd = x - xi, y - yi
+            return sum(c[k, l] * yd**k * xd**l for k in range(4) for l in range(4))
+
+        pts = [(2.25, 3.75), (5.5, 4.125), (9.9, 8.01), (1.0, 1.0)]
+        xs = jnp.asarray([p[0] for p in pts], jnp.float32)
+        ys = jnp.asarray([p[1] for p in pts], jnp.float32)
+        vals, _ = bspline.bicubic_eval(lut, xs, ys)
+        for v, (x, y) in zip(np.asarray(vals), pts):
+            assert abs(v - ref_eval(x, y)) < 5e-3
+
+    def test_oob_sentinel(self):
+        img = jnp.ones((10, 10))
+        lut = bspline.bicubic_prepare(img)
+        xs = jnp.asarray([0.5, 8.0, 3.0, jnp.nan])
+        ys = jnp.asarray([5.0, 5.0, 9.5, 2.0])
+        vals, oob = bspline.bicubic_eval(lut, xs, ys)
+        assert np.asarray(oob).tolist() == [True, True, True, True]
+        assert (np.asarray(vals) == -1.0).all()
+
+
+class TestTricubic:
+    def test_prefilter_matches_reference_loop(self):
+        """Float64 transcription of the x-axis pass with edge clamping
+        (oc_cubic_bspline.cpp:229-261)."""
+        rng = np.random.default_rng(3)
+        vol = rng.random((4, 5, 20)).astype(np.float32)
+        got = np.asarray(bspline._prefilter_axis(jnp.asarray(vol), axis=2))
+        taps = bspline.BSPLINE_PREFILTER.astype(np.float64)
+        v = vol.astype(np.float64)
+        want = np.zeros_like(v)
+        nx = vol.shape[2]
+        for i in range(vol.shape[0]):
+            for j in range(vol.shape[1]):
+                for k in range(nx):
+                    acc = taps[0] * v[i, j, k]
+                    for t in range(1, 8):
+                        lo = max(k - t, 0)
+                        hi = min(k + t, nx - 1)
+                        acc += taps[t] * (v[i, j, lo] + v[i, j, hi])
+                    want[i, j, k] = acc
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_interpolates_smooth_volume(self):
+        z, y, x = np.mgrid[0:20, 0:20, 0:20].astype(np.float32)
+        vol = np.sin(x * 0.3) + np.cos(y * 0.25) + z * 0.1
+        coeff = bspline.tricubic_prepare(jnp.asarray(vol))
+        pts = np.array([[5.3, 7.8, 9.1], [10.0, 10.0, 10.0], [3.25, 12.5, 6.75]])
+        vals, oob = bspline.tricubic_eval(
+            coeff, jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]),
+            jnp.asarray(pts[:, 2]))
+        want = (np.sin(pts[:, 0] * 0.3) + np.cos(pts[:, 1] * 0.25)
+                + pts[:, 2] * 0.1)
+        assert not bool(np.asarray(oob).any())
+        assert np.allclose(np.asarray(vals), want, atol=2e-2)
+
+    def test_oob_sentinel(self):
+        coeff = bspline.tricubic_prepare(jnp.ones((16, 16, 16)))
+        vals, oob = bspline.tricubic_eval(
+            coeff, jnp.asarray([0.0]), jnp.asarray([5.0]), jnp.asarray([5.0]))
+        assert bool(oob[0]) and float(vals[0]) == -1.0
+
+
+class TestWarp:
+    def test_roundtrip_2d1(self):
+        p = jnp.asarray(np.random.default_rng(4).normal(size=(7, 6)), jnp.float32)
+        w = warp_ops.warp2d1_from_p(p)
+        assert np.allclose(np.asarray(warp_ops.p_from_warp2d1(w)), np.asarray(p),
+                           atol=1e-6)
+
+    def test_roundtrip_2d2(self):
+        p = jnp.asarray(
+            np.random.default_rng(5).normal(size=(7, 12)) * 0.1, jnp.float32)
+        w = warp_ops.warp2d2_from_p(p)
+        assert np.allclose(np.asarray(warp_ops.p_from_warp2d2(w)), np.asarray(p),
+                           atol=1e-5)
+
+    def test_roundtrip_3d1(self):
+        p = jnp.asarray(
+            np.random.default_rng(6).normal(size=(5, 12)) * 0.2, jnp.float32)
+        w = warp_ops.warp3d1_from_p(p)
+        assert np.allclose(np.asarray(warp_ops.p_from_warp3d1(w)), np.asarray(p),
+                           atol=1e-6)
+
+    def test_identity(self):
+        w = warp_ops.warp2d1_from_p(jnp.zeros((1, 6)))
+        assert np.allclose(np.asarray(w)[0], np.eye(3))
+        w6 = warp_ops.warp2d2_from_p(jnp.zeros((1, 12)))
+        assert np.allclose(np.asarray(w6)[0], np.eye(6))
+
+    def test_warp2d2_reference_formula(self):
+        """Spot-check the S-matrix entries against oc_deformation.cpp:301-350."""
+        rng = np.random.default_rng(7)
+        u, ux, uy, uxx, uxy, uyy, v, vx, vy, vxx, vxy, vyy = rng.normal(size=12) * 0.1
+        p = jnp.asarray([[u, ux, uy, uxx, uxy, uyy, v, vx, vy, vxx, vxy, vyy]],
+                        jnp.float32)
+        w = np.asarray(warp_ops.warp2d2_from_p(p))[0]
+        assert abs(w[0, 0] - (1 + 2 * ux + ux * ux + u * uxx)) < 1e-5
+        assert abs(w[1, 1] - (1 + uy * vx + ux * vy + v * uxy + u * vxy + vy + ux)) < 1e-5
+        assert abs(w[2, 4] - (2 * v * (1 + vy))) < 1e-5
+        assert abs(w[4, 0] - 0.5 * vxx) < 1e-6

@@ -1,0 +1,159 @@
+"""Integration tests for the 2D pipeline on synthetic speckle with known
+displacement, plus failure-code semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import opencorr_tpu as oc
+from opencorr_tpu.data import poi as poi_mod
+
+
+def test_fftcc_integer_translation(speckle_pair_2d):
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((30, 30), 10, 8, 12)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    u = np.asarray(pois.u)
+    v = np.asarray(pois.v)
+    assert np.all(np.abs(u - tu) < 2) and np.all(np.abs(v - tv) < 2)
+    assert np.mean(np.abs(u - tu) <= 1) > 0.8
+    assert np.mean(np.abs(v - tv) <= 1) > 0.8
+    assert np.asarray(pois.zncc).min() > 0.5
+    # u0/v0 recorded (oc_fftcc.cpp:272-273)
+    assert np.all(np.asarray(pois.r[:, poi_mod.R_U0]) == 0)
+
+
+def test_fftcc_chained_initial_guess(speckle_pair_2d):
+    """FFTCC starts its window from an existing initial displacement
+    (oc_fftcc.cpp:187)."""
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((40, 40), 4, 4, 10)
+    pois = pois.replace(p=pois.p.at[:, poi_mod.U].set(2.0))
+    f = oc.FFTCC2D(8, 8)
+    f.set_images(ref, tar)
+    out = f.compute(pois)
+    assert np.all(np.abs(np.asarray(out.u) - round(tu)) <= 1)
+    assert np.all(np.asarray(out.r[:, poi_mod.R_U0]) == 2.0)
+
+
+def test_icgn1_subpixel(speckle_pair_2d):
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((30, 30), 10, 8, 12)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    icgn = oc.ICGN2D1(10, 10, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    pois = icgn.compute(pois)
+    z = np.asarray(pois.zncc)
+    conv = z > 0
+    assert conv.mean() > 0.9
+    assert abs(np.asarray(pois.u)[conv].mean() - tu) < 0.02
+    assert abs(np.asarray(pois.v)[conv].mean() - tv) < 0.02
+    assert np.asarray(pois.r[conv, poi_mod.R_CONV]).max() < 0.001
+    assert np.all(np.asarray(pois.sr[conv]) == 10)
+
+
+def test_icgn2_subpixel(speckle_pair_2d):
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((30, 30), 8, 6, 14)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    icgn = oc.ICGN2D2(10, 10, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    pois = icgn.compute(pois)
+    z = np.asarray(pois.zncc)
+    conv = z > 0
+    assert conv.mean() > 0.9
+    assert abs(np.asarray(pois.u)[conv].mean() - tu) < 0.02
+    assert abs(np.asarray(pois.v)[conv].mean() - tv) < 0.02
+
+
+def test_icgn_failure_codes(speckle_pair_2d):
+    ref, tar, _, _ = speckle_pair_2d
+    icgn = oc.ICGN2D1(16, 16, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    t = oc.new_table_2d([5.0, 40.0, 40.0, 40.0], [5.0, 40.0, 40.0, 40.0])
+    # POI 2: prior failure propagates; POI 3: huge displacement -> -3
+    t = t.replace(
+        r=t.r.at[2, poi_mod.R_ZNCC].set(-1.0),
+        p=t.p.at[3, poi_mod.U].set(1e4),
+    )
+    out = icgn.compute(t)
+    z = np.asarray(out.zncc)
+    assert z[0] == -3.0  # border guard
+    assert z[1] > 0.0
+    assert z[2] == -1.0  # prior code preserved (oc_icgn.cpp:165)
+    assert z[3] == -3.0  # |u| >= width
+    # failed POIs keep their deformation input
+    assert np.asarray(out.p)[3, poi_mod.U] == 1e4
+
+
+def test_icgn_oob_warp_aborts(speckle_pair_2d):
+    """A guess that pushes the warped subset outside the target image hits the
+    -1 interpolation sentinel -> ZNCC -3 (oc_icgn.cpp:244-255)."""
+    ref, tar, _, _ = speckle_pair_2d
+    icgn = oc.ICGN2D1(12, 12, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    t = oc.new_table_2d([20.0], [20.0])
+    t = t.replace(p=t.p.at[0, poi_mod.U].set(-15.0))  # warp exits left edge
+    out = icgn.compute(t)
+    assert float(out.zncc[0]) == -3.0
+
+
+def test_strain_linear_field():
+    """A pure affine displacement field must reproduce its exact gradients."""
+    pois = oc.poi_grid_2d((10, 10), 20, 15, 4)
+    x = np.asarray(pois.x)
+    y = np.asarray(pois.y)
+    ux, uy, vx, vy = 1e-3, 2e-3, -5e-4, 3e-3
+    u = 0.5 + ux * x + uy * y
+    v = -0.2 + vx * x + vy * y
+    p = np.zeros((pois.n, 12), np.float32)
+    p[:, poi_mod.U] = u
+    p[:, poi_mod.V] = v
+    r = np.zeros((pois.n, 6), np.float32)
+    r[:, poi_mod.R_ZNCC] = 0.99
+    pois = pois.replace(p=jnp.asarray(p), r=jnp.asarray(r))
+    strain = oc.Strain(subregion_radius=10.0, neighbor_number_min=5)
+    out = strain.compute(pois)
+    e = np.asarray(out.e)
+    assert np.allclose(e[:, 0], ux, atol=1e-5)
+    assert np.allclose(e[:, 1], vy, atol=1e-5)
+    assert np.allclose(e[:, 2], 0.5 * (uy + vx), atol=1e-5)
+
+
+def test_strain_zncc_gate():
+    pois = oc.poi_grid_2d((10, 10), 8, 8, 4)
+    r = np.zeros((pois.n, 6), np.float32)
+    r[:, poi_mod.R_ZNCC] = 0.99
+    r[0, poi_mod.R_ZNCC] = 0.5  # below threshold -> untouched
+    p = np.zeros((pois.n, 12), np.float32)
+    p[:, poi_mod.U] = 0.001 * np.asarray(pois.x)
+    pois = pois.replace(p=jnp.asarray(p), r=jnp.asarray(r))
+    out = oc.Strain(10.0, 5).compute(pois)
+    e = np.asarray(out.e)
+    assert e[0, 0] == 0.0
+    assert abs(e[1, 0] - 0.001) < 1e-5
+
+
+def test_green_lagrange():
+    pois = oc.poi_grid_2d((10, 10), 10, 10, 4)
+    x = np.asarray(pois.x)
+    ux = 0.01
+    p = np.zeros((pois.n, 12), np.float32)
+    p[:, poi_mod.U] = ux * x
+    r = np.zeros((pois.n, 6), np.float32)
+    r[:, poi_mod.R_ZNCC] = 0.99
+    pois = pois.replace(p=jnp.asarray(p), r=jnp.asarray(r))
+    s = oc.Strain(12.0, 5)
+    s.set_approximation(2)
+    out = s.compute(pois)
+    e = np.asarray(out.e)
+    assert np.allclose(e[:, 0], ux + 0.5 * ux * ux, atol=1e-5)
