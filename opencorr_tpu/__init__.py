@@ -21,6 +21,8 @@ from .data.poi import (
 )
 from .models.fftcc import FFTCC2D, FFTCC3D
 from .models.icgn import ICGN2D1, ICGN2D2, ICGN3D1
+from .models.iclm import ICLM2D1, ICLM2D2
+from .models.nr import NR2D1
 from .models.strain import Strain
 
 __all__ = [
@@ -39,6 +41,9 @@ __all__ = [
     "ICGN2D1",
     "ICGN2D2",
     "ICGN3D1",
+    "ICLM2D1",
+    "ICLM2D2",
+    "NR2D1",
     "Strain",
 ]
 

@@ -1,0 +1,91 @@
+"""ICLM module wrappers (reference API: ``ICLM2D1``/``ICLM2D2``,
+oc_iclm.h:54-146)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..data import poi as poi_mod
+from ..ops import bspline, gradient, iclm as iclm_ops
+from . import base
+
+
+class _ICLM2DBase(base.Module2D):
+    order: int = 1
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 conv_criterion: float = 0.001, stop_condition: float = 10,
+                 chunk_size: Optional[int] = 65536):
+        super().__init__(subset_radius_x, subset_radius_y)
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+        self.chunk_size = chunk_size
+        # DampingParameter defaults (oc_iclm.h:32-37)
+        self.damping_lambda = 100.0
+        self.damping_alpha = 0.1
+        self.damping_beta = 10.0
+        self._gx = None
+        self._gy = None
+        self._lut = None
+
+    def set_iteration(self, conv_criterion: float, stop_condition: float):
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+
+    def set_damping(self, lam: float, alpha: float, beta: float):
+        """oc_iclm.cpp:114-119."""
+        self.damping_lambda = float(lam)
+        self.damping_alpha = float(alpha)
+        self.damping_beta = float(beta)
+
+    def prepare(self) -> None:
+        self._gx = gradient.gradient_x_2d(self.ref_img)
+        self._gy = gradient.gradient_y_2d(self.ref_img)
+        self._lut = bspline.bicubic_prepare(self.tar_img)
+
+    def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        if self._lut is None:
+            raise RuntimeError("call prepare() before compute()")
+        rx, ry = self.subset_radius_x, self.subset_radius_y
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+        damping = jnp.array(
+            [self.damping_lambda, self.damping_alpha, self.damping_beta],
+            jnp.float32)
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            p_out, u0, v0, zncc, it, dpn, computed = iclm_ops.iclm2d(
+                self._gx, self._gy, self.ref_img, self._lut,
+                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
+                damping, order=self.order, rx=rx, ry=ry,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+            r = r.at[:, poi_mod.R_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+            sr = t.sr
+            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+            return t.replace(p=p_out, r=r, sr=sr)
+
+        return base.chunked(run, table, self.chunk_size)
+
+
+class ICLM2D1(_ICLM2DBase):
+    """1st-order IC-LM (oc_iclm.cpp:150-368)."""
+
+    order = 1
+
+
+class ICLM2D2(_ICLM2DBase):
+    """2nd-order IC-LM (oc_iclm.cpp:502-731)."""
+
+    order = 2

@@ -1,0 +1,67 @@
+"""NR module wrapper (reference API: ``NR2D1``, oc_nr.h:47)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..data import poi as poi_mod
+from ..ops import bspline, gradient, nr as nr_ops
+from . import base
+
+
+class NR2D1(base.Module2D):
+    """Forward-additive Newton-Raphson, 1st-order shape function
+    (oc_nr.cpp:160-333)."""
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 conv_criterion: float = 0.001, stop_condition: float = 10,
+                 chunk_size: Optional[int] = 65536):
+        super().__init__(subset_radius_x, subset_radius_y)
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+        self.chunk_size = chunk_size
+        self._lut = None
+        self._lut_gx = None
+        self._lut_gy = None
+
+    def set_iteration(self, conv_criterion: float, stop_condition: float):
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+
+    def prepare(self) -> None:
+        """B-spline LUTs of the target image AND its gradient maps
+        (oc_nr.cpp:119-158)."""
+        tgx = gradient.gradient_x_2d(self.tar_img)
+        tgy = gradient.gradient_y_2d(self.tar_img)
+        self._lut = bspline.bicubic_prepare(self.tar_img)
+        self._lut_gx = bspline.bicubic_prepare(tgx)
+        self._lut_gy = bspline.bicubic_prepare(tgy)
+
+    def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        if self._lut is None:
+            raise RuntimeError("call prepare() before compute()")
+        rx, ry = self.subset_radius_x, self.subset_radius_y
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            p_out, u0, v0, zncc, it, dpn, computed = nr_ops.nr2d1(
+                self.ref_img, self._lut, self._lut_gx, self._lut_gy,
+                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
+                rx=rx, ry=ry,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+            r = r.at[:, poi_mod.R_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+            return t.replace(p=p_out, r=r)
+
+        return base.chunked(run, table, self.chunk_size)
