@@ -33,7 +33,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import bspline, warp as warp_ops
+from . import bspline, linalg as linalg_ops, warp as warp_ops
 from ..utils.precision import highest_precision
 
 
@@ -140,7 +140,7 @@ def icgn2d(
             axis=-1,
         )  # [N, S, 12]
     hess = jnp.einsum("nsi,nsj->nij", sd, sd)
-    hinv = jnp.linalg.inv(hess)
+    hinv = linalg_ops.inv_small(hess)
 
     # Initial guess: always the first-order part (oc_icgn.cpp:216, :765).
     p6_init = p_in[:, jnp.array([0, 1, 2, 6, 7, 8])]
@@ -199,7 +199,7 @@ def icgn2d(
         num = jnp.einsum("nsi,ns->ni", sd, err)
         dp = jnp.einsum("nij,nj->ni", hinv, num)
         winc = warp_from_p(dp)
-        wmat_new = wmat @ jnp.linalg.inv(winc)
+        wmat_new = wmat @ linalg_ops.inv_small(winc)
         dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
 
         step = active & ~fail_now
@@ -343,7 +343,7 @@ def icgn3d1(
         axis=-1,
     )  # [N, S, 12]
     hess = jnp.einsum("nsi,nsj->nij", sd, sd)
-    hinv = jnp.linalg.inv(hess)
+    hinv = linalg_ops.inv_small(hess)
 
     wmat0 = warp_ops.warp3d1_from_p(p_in)
 
@@ -376,7 +376,7 @@ def icgn3d1(
         num = jnp.einsum("nsi,ns->ni", sd, err)
         dp = jnp.einsum("nij,nj->ni", hinv, num)
         winc = warp_ops.warp3d1_from_p(dp)
-        wmat_new = wmat @ jnp.linalg.inv(winc)
+        wmat_new = wmat @ linalg_ops.inv_small(winc)
         # 3D convergence norm uses displacements only (oc_icgn.cpp:1445).
         dpn_new = jnp.sqrt(
             dp[:, 0] ** 2 + dp[:, 4] ** 2 + dp[:, 8] ** 2

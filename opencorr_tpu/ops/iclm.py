@@ -22,7 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from . import bspline, warp as warp_ops
+from . import bspline, linalg as linalg_ops, warp as warp_ops
 from .icgn import gather_subsets_2d
 from ..utils.precision import highest_precision
 
@@ -141,11 +141,11 @@ def iclm2d(
         # First-iteration damping init (oc_iclm.cpp:259-263).
         lam = jnp.where(it == 0, jnp.power(lam0, znssd / znssd0) - 1.0, lam)
 
-        hinv = jnp.linalg.inv(hess + lam[:, None, None] * eye[None])
+        hinv = linalg_ops.inv_small(hess + lam[:, None, None] * eye[None])
         num = jnp.einsum("nsi,ns->ni", sd, err)
         dp = jnp.einsum("nij,nj->ni", hinv, num)
         winc = warp_from_p(dp)
-        wmat_acc = wmat @ jnp.linalg.inv(winc)
+        wmat_acc = wmat @ linalg_ops.inv_small(winc)
         dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
 
         accept = znssd < znssd0

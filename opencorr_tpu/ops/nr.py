@@ -17,7 +17,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from . import bspline
+from . import bspline, linalg as linalg_ops
 from .icgn import gather_subsets_2d
 from ..utils.precision import highest_precision
 
@@ -90,7 +90,7 @@ def nr2d1(
 
         sd = jnp.stack([tgx, tgx * xl, tgx * yl, tgy, tgy * xl, tgy * yl], -1)
         hess = jnp.einsum("nsi,nsj->nij", sd, sd)
-        hinv = jnp.linalg.inv(hess)
+        hinv = linalg_ops.inv_small(hess)
 
         # error image and ZNSSD use the *target* norm (oc_nr.cpp:246-249)
         err = ref_zm * (tn / rn)[:, None] - tar_zm

@@ -24,13 +24,14 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from . import linalg as linalg_ops
 from ..utils.precision import highest_precision
 
 
 def _solve_sym(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve a x = b for small symmetric PD-ish systems, batched
     ([..., K, K] @ [..., K])."""
-    return jnp.linalg.solve(a, b[..., None])[..., 0]
+    return linalg_ops.solve_small(a, b)
 
 
 @functools.partial(jax.jit, static_argnames=("approximation",))
