@@ -19,12 +19,15 @@ from .data.poi import (
     poi_grid_2d,
     poi_grid_3d,
 )
+from .models.calibration import Calibration, CameraExtrinsics, CameraIntrinsics
+from .models.epipolar import EpipolarSearch
 from .models.feature_affine import FeatureAffine2D, FeatureAffine3D, RansacConfig
 from .models.fftcc import FFTCC2D, FFTCC3D
 from .models.icgn import ICGN2D1, ICGN2D2, ICGN3D1
 from .models.iclm import ICLM2D1, ICLM2D2
 from .models.nr import NR2D1
 from .models.sift2d import SIFT2D, Sift2dConfig
+from .models.stereovision import Stereovision
 from .models.strain import Strain
 
 __all__ = [
@@ -38,6 +41,11 @@ __all__ = [
     "new_table_3d",
     "poi_grid_2d",
     "poi_grid_3d",
+    "Calibration",
+    "CameraIntrinsics",
+    "CameraExtrinsics",
+    "EpipolarSearch",
+    "Stereovision",
     "FeatureAffine2D",
     "FeatureAffine3D",
     "RansacConfig",

@@ -121,6 +121,46 @@ def save_map_2d(path: str, table: poi_mod.POITable2D, variable: str,
             f.write(_fmt_row(row, delimiter) + "\n")
 
 
+def save_table_2ds(path: str, table: poi_mod.POITable2DS,
+                   delimiter: str = ",") -> None:
+    """Stereo result table (``saveTable2DS``, oc_io.cpp:588-669); column
+    layout per the shipped golden GT4-0273_0_epipolar_sift_r16.csv."""
+    cols = ["x", "y", "u", "v", "w", "r1r2 ZNCC", "r1t1 ZNCC", "r1t2 ZNCC",
+            "r2_x", "r2_y", "t1_x", "t1_y", "t2_x", "t2_y",
+            "ref_x", "ref_y", "ref_z", "tar_x", "tar_y", "tar_z",
+            "exx", "eyy", "ezz", "exy", "eyz", "ezx"]
+    data = np.column_stack(
+        [np.asarray(table.x), np.asarray(table.y), np.asarray(table.p),
+         np.asarray(table.r), np.asarray(table.ref_coor),
+         np.asarray(table.tar_coor), np.asarray(table.e)]
+    )
+    _write_csv(path, cols, data, delimiter)
+
+
+def load_table_2ds(path: str, delimiter: str = ",") -> poi_mod.POITable2DS:
+    """``loadTable2DS`` (oc_io.cpp:506-586)."""
+    raw = np.genfromtxt(path, delimiter=delimiter, skip_header=1,
+                        dtype=np.float32)
+    raw = np.atleast_2d(raw)
+    if np.isnan(raw[:, -1]).all():
+        raw = raw[:, :-1]
+    import jax.numpy as jnp
+
+    t = poi_mod.new_table_2ds(raw[:, 0], raw[:, 1])
+    p = raw[:, 2:5]
+    r = np.zeros((raw.shape[0], 9), np.float32)
+    r[:, 0:3] = raw[:, 5:8]
+    r[:, 3:9] = raw[:, 8:14]
+    ref_coor = raw[:, 14:17]
+    tar_coor = raw[:, 17:20]
+    e = np.zeros((raw.shape[0], 6), np.float32)
+    if raw.shape[1] >= 26:
+        e[:] = raw[:, 20:26]
+    return t.replace(p=jnp.asarray(p), r=jnp.asarray(r),
+                     ref_coor=jnp.asarray(ref_coor),
+                     tar_coor=jnp.asarray(tar_coor), e=jnp.asarray(e))
+
+
 def save_table_3d(path: str, table: poi_mod.POITable3D, delimiter: str = ",") -> None:
     """DVC result table (oc_io.cpp:1004-1089)."""
     cols = ["x", "y", "z", "u", "v", "w", "u0", "v0", "w0", "ZNCC",

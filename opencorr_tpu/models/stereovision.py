@@ -1,0 +1,87 @@
+"""Stereo triangulation (reference API: ``Stereovision``, oc_stereovision.h:20).
+
+Fundamental matrix F = K2^-T [t]x R2 K1^-1 (oc_stereovision.cpp:36-54);
+``reconstruct`` undistorts both 2D points and solves the linear triangulation
+4x3 system by least squares (:70-124), batched here over point arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import linalg as linalg_ops
+from ..utils.precision import highest_precision
+from .calibration import Calibration
+
+
+def fundamental_matrix(view1_cam: Calibration, view2_cam: Calibration) -> np.ndarray:
+    """oc_stereovision.cpp:36-54."""
+    k2_inv_t = np.linalg.inv(view2_cam.intrinsic_matrix).T
+    t = view2_cam.translation_vector
+    t_x = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], np.float32
+    )
+    e = t_x @ view2_cam.rotation_matrix
+    k1_inv = np.linalg.inv(view1_cam.intrinsic_matrix)
+    return (k2_inv_t @ e @ k1_inv).astype(np.float32)
+
+
+@highest_precision
+def _triangulate(p1: jnp.ndarray, p2: jnp.ndarray, x1, y1, x2, y2):
+    """Batched linear triangulation (oc_stereovision.cpp:87-122)."""
+
+    def rows(p, x, y):
+        a0 = x[:, None] * p[2, :3][None] - p[0, :3][None]
+        a1 = y[:, None] * p[2, :3][None] - p[1, :3][None]
+        b0 = p[0, 3] - x * p[2, 3]
+        b1 = p[1, 3] - y * p[2, 3]
+        return a0, a1, b0, b1
+
+    a0, a1, b0, b1 = rows(p1, x1, y1)
+    a2, a3, b2, b3 = rows(p2, x2, y2)
+    amat = jnp.stack([a0, a1, a2, a3], axis=1)  # [N, 4, 3]
+    bvec = jnp.stack([b0, b1, b2, b3], axis=1)  # [N, 4]
+    ata = jnp.einsum("nri,nrj->nij", amat, amat)
+    atb = jnp.einsum("nri,nr->ni", amat, bvec)
+    return linalg_ops.solve_small(ata, atb)  # [N, 3]
+
+
+class Stereovision:
+    def __init__(self, view1_cam: Calibration, view2_cam: Calibration):
+        self.view1_cam = view1_cam
+        self.view2_cam = view2_cam
+        self.fundamental_matrix = None
+
+    def update_cameras(self, view1_cam, view2_cam):
+        self.view1_cam = view1_cam
+        self.view2_cam = view2_cam
+
+    def prepare(self):
+        self.view1_cam.update_matrices()
+        self.view2_cam.update_matrices()
+        self.fundamental_matrix = fundamental_matrix(
+            self.view1_cam, self.view2_cam)
+
+    def reconstruct(self, view1_pts, view2_pts):
+        """[N, 2] point arrays in both views -> [N, 3] world coordinates.
+
+        NaN inputs produce the zero point (oc_stereovision.cpp:72-76).
+        """
+        v1 = jnp.asarray(view1_pts, jnp.float32)
+        v2 = jnp.asarray(view2_pts, jnp.float32)
+        bad = (
+            jnp.isnan(v1[:, 0]) | jnp.isnan(v1[:, 1])
+            | jnp.isnan(v2[:, 0]) | jnp.isnan(v2[:, 1])
+        )
+        # undistort expects in-range values; NaNs are zeroed then masked out
+        v1 = jnp.where(bad[:, None], 0.0, v1)
+        v2 = jnp.where(bad[:, None], 0.0, v2)
+        x1, y1 = self.view1_cam.undistort(v1[:, 0], v1[:, 1])
+        x2, y2 = self.view2_cam.undistort(v2[:, 0], v2[:, 1])
+        world = _triangulate(
+            jnp.asarray(self.view1_cam.projection_matrix),
+            jnp.asarray(self.view2_cam.projection_matrix),
+            x1, y1, x2, y2,
+        )
+        return jnp.where(bad[:, None], 0.0, world)
