@@ -48,6 +48,8 @@ class _ICGN2DBase(base.Module2D):
                 ) -> poi_mod.POITable2D:
         if self._lut is None:
             raise RuntimeError("call prepare() before compute()")
+        if self.self_adaptive:
+            return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         conv = jnp.float32(self.conv_criterion)
         max_iter = jnp.float32(self.stop_condition)
@@ -81,6 +83,41 @@ class _ICGN2DBase(base.Module2D):
             # simple by disabling chunking when offsets are supplied.
             return run(table)
         return base.chunked(run, table, self.chunk_size)
+
+    def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        """Self-adaptive mode: per-POI subset radii from ``table.sr``
+        (oc_icgn.cpp:152-158); one masked kernel at the batch max radius."""
+        import numpy as np
+
+        sr = np.asarray(table.sr)
+        r_max = int(max(np.max(sr), 1))
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d_adaptive(
+                self._gx, self._gy, self.ref_img, self._lut,
+                t.x, t.y, t.sr[:, 0], t.sr[:, 1],
+                t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
+                order=self.order, r_max=r_max,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+            r = r.at[:, poi_mod.R_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+            return t.replace(p=p_out, r=r)
+
+        chunk = self.chunk_size
+        if chunk is not None:
+            # the masked grid costs r_max^2 per POI regardless of its radius
+            chunk = max(1024, chunk // max(1, (2 * r_max + 1) ** 2 // 1089))
+        return base.chunked(run, table, chunk)
 
 
 class ICGN2D1(_ICGN2DBase):

@@ -260,6 +260,198 @@ def icgn2d(
     return p_out, u_in, v_in, zncc_out, it, dpn, computed
 
 
+@functools.partial(jax.jit, static_argnames=("order", "r_max"))
+@highest_precision
+def icgn2d_adaptive(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    ref_img: jnp.ndarray,
+    tar_lut: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    srx: jnp.ndarray,  # [N] per-POI subset radius x (float, from the table)
+    sry: jnp.ndarray,
+    p_in: jnp.ndarray,
+    zncc_in: jnp.ndarray,
+    conv: jnp.ndarray,
+    max_iter: jnp.ndarray,
+    *,
+    order: int,
+    r_max: int,
+):
+    """Self-adaptive-subset IC-GN (oc_icgn.cpp:152-158): per-POI subset radii.
+
+    The reference re-allocates per-thread scratch at each POI's radius; here
+    every POI runs on the static ``r_max`` grid with a per-POI pixel mask —
+    one compilation, identical numerics (masked pixels contribute zero to all
+    sums and the masked mean/count reductions reproduce the smaller subset
+    exactly).
+
+    Returns (p_out, u0, v0, zncc, iteration, convergence, computed).
+    """
+    h, w = ref_img.shape
+    n = xs.shape[0]
+    sh = sw = 2 * r_max + 1
+    s = sh * sw
+    f32 = jnp.float32
+
+    rxf = jnp.minimum(srx, f32(r_max))
+    ryf = jnp.minimum(sry, f32(r_max))
+
+    u_in = p_in[:, 0]
+    v_in = p_in[:, 6]
+    valid = (
+        (ys - ryf >= 0)
+        & (xs - rxf >= 0)
+        & (ys + ryf <= h - 1)
+        & (xs + rxf <= w - 1)
+        & (jnp.abs(u_in) < w)
+        & (jnp.abs(v_in) < h)
+        & (zncc_in >= 0)
+        & ~jnp.isnan(u_in)
+        & ~jnp.isnan(v_in)
+    )
+
+    xi = xs.astype(jnp.int32)
+    yi = ys.astype(jnp.int32)
+    x0 = jnp.clip(xi - r_max, 0, w - sw)
+    y0 = jnp.clip(yi - r_max, 0, h - sh)
+
+    dyg, dxg = jnp.meshgrid(
+        jnp.arange(-r_max, r_max + 1, dtype=f32),
+        jnp.arange(-r_max, r_max + 1, dtype=f32),
+        indexing="ij",
+    )
+    xl = dxg.reshape(-1)[None, :]  # [1, S]
+    yl = dyg.reshape(-1)[None, :]
+    pmask = (jnp.abs(xl) <= rxf[:, None]) & (jnp.abs(yl) <= ryf[:, None])
+    pmf = pmask.astype(f32)  # [N, S]
+    count = jnp.sum(pmf, axis=1)
+
+    ref_sub = gather_subsets_2d(ref_img, x0, y0, r_max, r_max).reshape(n, s)
+    ref_mean = jnp.sum(ref_sub * pmf, axis=1) / count
+    ref_zm = (ref_sub - ref_mean[:, None]) * pmf
+    rn = jnp.sqrt(jnp.sum(ref_zm * ref_zm, axis=1))
+
+    gxs = gather_subsets_2d(gx, x0, y0, r_max, r_max).reshape(n, s) * pmf
+    gys = gather_subsets_2d(gy, x0, y0, r_max, r_max).reshape(n, s) * pmf
+    if order == 1:
+        sd = jnp.stack([gxs, gxs * xl, gxs * yl, gys, gys * xl, gys * yl], -1)
+    else:
+        xx = xl * xl * 0.5
+        xy = xl * yl
+        yy = yl * yl * 0.5
+        sd = jnp.stack(
+            [gxs, gxs * xl, gxs * yl, gxs * xx, gxs * xy, gxs * yy,
+             gys, gys * xl, gys * yl, gys * xx, gys * xy, gys * yy], -1)
+    hess = jnp.einsum("nsi,nsj->nij", sd, sd)
+    hinv = linalg_ops.inv_small(hess)
+
+    p6_init = p_in[:, jnp.array([0, 1, 2, 6, 7, 8])]
+    if order == 1:
+        wmat0 = warp_ops.warp2d1_from_p(p6_init)
+        warp_from_p = warp_ops.warp2d1_from_p
+        p_from_warp = warp_ops.p_from_warp2d1
+    else:
+        p12_init = jnp.zeros((n, 12), f32).at[
+            :, jnp.array([0, 1, 2, 6, 7, 8])].set(p6_init)
+        wmat0 = warp_ops.warp2d2_from_p(p12_init)
+        warp_from_p = warp_ops.warp2d2_from_p
+        p_from_warp = warp_ops.p_from_warp2d2
+
+    # per-POI convergence weights (traced radii)
+    rx2 = rxf * rxf
+    ry2 = ryf * ryf
+    rxy2 = rx2 * ry2
+    rx4 = jnp.trunc(rx2 * rx2 * 0.25)
+    ry4 = jnp.trunc(ry2 * ry2 * 0.25)
+    one = jnp.ones_like(rx2)
+    if order == 1:
+        dp_w = jnp.stack([one, rx2, ry2, one, rx2, ry2], axis=-1)  # [N, 6]
+    else:
+        dp_w = jnp.stack(
+            [one, rx2, ry2, rx4, rxy2, ry4, one, rx2, ry2, rx4, rxy2, ry4],
+            axis=-1)
+
+    def body(state):
+        wmat, active, it, dpn, znssd, oob_fail = state
+        if order == 1:
+            pv = jnp.stack(
+                [xl * jnp.ones((n, 1)), yl * jnp.ones((n, 1)),
+                 jnp.ones((n, s))], axis=-1)
+            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, :2, :], pv)
+        else:
+            xln = xl * jnp.ones((n, 1))
+            yln = yl * jnp.ones((n, 1))
+            pv = jnp.stack(
+                [xln * xln, xln * yln, yln * yln, xln, yln, jnp.ones((n, s))],
+                axis=-1)
+            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, 3:5, :], pv)
+        gx_c = xs[:, None] + wxy[..., 0]
+        gy_c = ys[:, None] + wxy[..., 1]
+        tval, _ = bspline.bicubic_eval(tar_lut, gx_c, gy_c)
+
+        fail_now = jnp.any((tval < 0.0) & pmask, axis=1) & active
+
+        tar_mean = jnp.sum(tval * pmf, axis=1) / count
+        tar_zm = (tval - tar_mean[:, None]) * pmf
+        tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
+        err = tar_zm * (rn / tn)[:, None] - ref_zm
+        znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
+        num = jnp.einsum("nsi,ns->ni", sd, err)
+        dp = jnp.einsum("nij,nj->ni", hinv, num)
+        winc = warp_from_p(dp)
+        wmat_new = wmat @ linalg_ops.inv_small(winc)
+        dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w, axis=1))
+
+        step = active & ~fail_now
+        wmat = jnp.where(step[:, None, None], wmat_new, wmat)
+        znssd = jnp.where(step, znssd_new, znssd)
+        dpn = jnp.where(step, dpn_new, dpn)
+        it = jnp.where(step, it + 1.0, it)
+        oob_fail = oob_fail | fail_now
+        active = step & (dpn >= conv) & (it < max_iter)
+        return wmat, active, it, dpn, znssd, oob_fail
+
+    state0 = (
+        wmat0, valid,
+        jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
+        jnp.zeros(n, jnp.bool_),
+    )
+    wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
+        lambda st: jnp.any(st[1]), body, state0
+    )
+
+    computed = valid & ~oob_fail
+    p_new = p_from_warp(wmat)
+    zncc = 0.5 * (2.0 - znssd)
+    zncc = jnp.where((dpn >= conv) & (it >= max_iter), f32(-4.0), zncc)
+    if order == 1:
+        u_new, v_new = p_new[:, 0], p_new[:, 3]
+    else:
+        u_new, v_new = p_new[:, 0], p_new[:, 6]
+    isnan = jnp.isnan(zncc) | jnp.isnan(u_new) | jnp.isnan(v_new)
+    zncc = jnp.where(isnan, f32(-5.0), zncc)
+    if order == 1:
+        p_new = p_new.at[:, 0].set(jnp.where(isnan, u_in, p_new[:, 0]))
+        p_new = p_new.at[:, 3].set(jnp.where(isnan, v_in, p_new[:, 3]))
+    else:
+        p_new = p_new.at[:, 0].set(jnp.where(isnan, u_in, p_new[:, 0]))
+        p_new = p_new.at[:, 6].set(jnp.where(isnan, v_in, p_new[:, 6]))
+
+    p_out = p_in
+    if order == 1:
+        for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
+            p_out = p_out.at[:, dst].set(
+                jnp.where(computed, p_new[:, src], p_in[:, dst]))
+    else:
+        p_out = jnp.where(computed[:, None], p_new, p_in)
+
+    zncc_guard = jnp.where(zncc_in >= 0, f32(-3.0), zncc_in)
+    zncc_out = jnp.where(valid, jnp.where(oob_fail, f32(-3.0), zncc), zncc_guard)
+    return p_out, u_in, v_in, zncc_out, it, dpn, computed
+
+
 def _slice3d(vol, z0, y0, x0, sz, sy, sx):
     return jax.lax.dynamic_slice(vol, (z0, y0, x0), (sz, sy, sx))
 

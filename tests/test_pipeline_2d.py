@@ -157,3 +157,53 @@ def test_green_lagrange():
     out = s.compute(pois)
     e = np.asarray(out.e)
     assert np.allclose(e[:, 0], ux + 0.5 * ux * ux, atol=1e-5)
+
+
+def test_icgn_self_adaptive_matches_fixed(speckle_pair_2d):
+    """With uniform per-POI radii, adaptive mode must equal the fixed kernel."""
+    import jax.numpy as jnp
+
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((35, 35), 6, 5, 15)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+
+    fixed = oc.ICGN2D1(10, 10, 0.001, 10)
+    fixed.set_images(ref, tar)
+    fixed.prepare()
+    out_fixed = fixed.compute(pois)
+
+    adap = oc.ICGN2D1(10, 10, 0.001, 10)
+    adap.set_images(ref, tar)
+    adap.prepare()
+    adap.set_self_adaptive(True)
+    pois_a = pois.replace(sr=jnp.full((pois.n, 2), 10.0, jnp.float32))
+    out_a = adap.compute(pois_a)
+
+    assert np.allclose(np.asarray(out_fixed.p), np.asarray(out_a.p), atol=1e-4)
+    assert np.allclose(np.asarray(out_fixed.zncc), np.asarray(out_a.zncc),
+                       atol=1e-4)
+
+
+def test_icgn_self_adaptive_mixed_radii(speckle_pair_2d):
+    import jax.numpy as jnp
+
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((40, 40), 5, 4, 15)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    rng = np.random.default_rng(0)
+    radii = rng.integers(8, 16, (pois.n, 2)).astype(np.float32)
+    pois = pois.replace(sr=jnp.asarray(radii))
+    m = oc.ICGN2D1(10, 10, 0.001, 10)
+    m.set_images(ref, tar)
+    m.prepare()
+    m.set_self_adaptive(True)
+    out = m.compute(pois)
+    z = np.asarray(out.zncc)
+    ok = z > 0
+    assert ok.mean() > 0.8
+    assert abs(np.asarray(out.u)[ok].mean() - tu) < 0.02
+    assert abs(np.asarray(out.v)[ok].mean() - tv) < 0.02
