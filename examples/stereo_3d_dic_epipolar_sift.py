@@ -9,6 +9,11 @@ then triangulation of both pairs into 3D displacements.
 Usage: python examples/stereo_3d_dic_epipolar_sift.py [data_dir] [out_csv]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -27,6 +27,7 @@ from .models.icgn import ICGN2D1, ICGN2D2, ICGN3D1
 from .models.iclm import ICLM2D1, ICLM2D2
 from .models.nr import NR2D1
 from .models.sift2d import SIFT2D, Sift2dConfig
+from .models.sift3d import SIFT3D, Sift3dConfig
 from .models.stereovision import Stereovision
 from .models.strain import Strain
 
@@ -51,6 +52,8 @@ __all__ = [
     "RansacConfig",
     "SIFT2D",
     "Sift2dConfig",
+    "SIFT3D",
+    "Sift3dConfig",
     "FFTCC2D",
     "FFTCC3D",
     "ICGN2D1",

@@ -26,6 +26,7 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
+from . import native
 from ..data import poi as poi_mod
 
 _F = "%.8f"
@@ -55,12 +56,7 @@ def save_table_2d(path: str, table: poi_mod.POITable2D, delimiter: str = ",") ->
 def load_table_2d(path: str, delimiter: str = ",") -> poi_mod.POITable2D:
     """Parse a result table (``loadTable2D``, oc_io.cpp:249-316). Tolerates the
     older 13-column golden files without subset radii."""
-    raw = np.genfromtxt(path, delimiter=delimiter, skip_header=1,
-                        dtype=np.float32)
-    raw = np.atleast_2d(raw)
-    # trailing delimiter produces a NaN column — drop it
-    if np.isnan(raw[:, -1]).all():
-        raw = raw[:, :-1]
+    raw = _read_csv(path, delimiter)
     n = raw.shape[0]
     t = poi_mod.new_table_2d(raw[:, 0], raw[:, 1])
     import jax.numpy as jnp
@@ -139,11 +135,7 @@ def save_table_2ds(path: str, table: poi_mod.POITable2DS,
 
 def load_table_2ds(path: str, delimiter: str = ",") -> poi_mod.POITable2DS:
     """``loadTable2DS`` (oc_io.cpp:506-586)."""
-    raw = np.genfromtxt(path, delimiter=delimiter, skip_header=1,
-                        dtype=np.float32)
-    raw = np.atleast_2d(raw)
-    if np.isnan(raw[:, -1]).all():
-        raw = raw[:, :-1]
+    raw = _read_csv(path, delimiter)
     import jax.numpy as jnp
 
     t = poi_mod.new_table_2ds(raw[:, 0], raw[:, 1])
@@ -177,11 +169,7 @@ def save_table_3d(path: str, table: poi_mod.POITable3D, delimiter: str = ",") ->
 
 
 def load_table_3d(path: str, delimiter: str = ",") -> poi_mod.POITable3D:
-    raw = np.genfromtxt(path, delimiter=delimiter, skip_header=1,
-                        dtype=np.float32)
-    raw = np.atleast_2d(raw)
-    if np.isnan(raw[:, -1]).all():
-        raw = raw[:, :-1]
+    raw = _read_csv(path, delimiter)
     import jax.numpy as jnp
 
     n = raw.shape[0]
@@ -236,9 +224,24 @@ def load_matrix_bin_3d(path: str):
 
 
 def _write_csv(path: str, cols, data: np.ndarray, delim: str) -> None:
+    header = delim.join(cols) + delim
+    if native.write_table(path, header, np.asarray(data, np.float32), delim):
+        return
     buf = io.StringIO()
-    buf.write(delim.join(cols) + delim + "\n")
+    buf.write(header + "\n")
     for row in data:
         buf.write(_fmt_row(row, delim) + "\n")
     with open(path, "w") as f:
         f.write(buf.getvalue())
+
+
+def _read_csv(path: str, delimiter: str) -> np.ndarray:
+    """Numeric table reader: native fast path with numpy fallback."""
+    raw = native.read_table(path, skip_header=True, delimiter=delimiter)
+    if raw is None:
+        raw = np.genfromtxt(path, delimiter=delimiter, skip_header=1,
+                            dtype=np.float32)
+        raw = np.atleast_2d(raw)
+        if np.isnan(raw[:, -1]).all():
+            raw = raw[:, :-1]
+    return raw

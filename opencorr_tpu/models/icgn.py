@@ -138,7 +138,9 @@ class ICGN3D1(base.Module3D):
     def __init__(self, subset_radius_x: int, subset_radius_y: int,
                  subset_radius_z: int, conv_criterion: float = 0.001,
                  stop_condition: float = 10,
-                 chunk_size: Optional[int] = 256):
+                 chunk_size: Optional[int] = None):
+        """``chunk_size=None`` sizes POI chunks from a poi*voxel budget so the
+        per-chunk working set stays bounded for any subset radius."""
         super().__init__(subset_radius_x, subset_radius_y, subset_radius_z)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
@@ -173,6 +175,10 @@ class ICGN3D1(base.Module3D):
                       self.subset_radius_z)
         conv = jnp.float32(self.conv_criterion)
         max_iter = jnp.float32(self.stop_condition)
+        chunk = self.chunk_size
+        if chunk is None:
+            s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
+            chunk = max(8, 1_200_000 // s)
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
             p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
@@ -198,4 +204,4 @@ class ICGN3D1(base.Module3D):
             sr = sr.at[:, 2].set(jnp.where(computed, float(rz), sr[:, 2]))
             return t.replace(p=p_out, r=r, sr=sr)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, chunk)

@@ -1,0 +1,468 @@
+"""3D SIFT device kernels (implementation of B. Rister et al., IEEE TIP 26(10)
+4900-4910, following the reference's from-scratch version in ``oc_sift.cpp``).
+
+Pipeline (reference lines in parentheses):
+
+* Gaussian pyramid: octave count ``floor(log2(min_dim) - log2(min_dimension))+1``,
+  kappa = 2^(1/n_layers), per-layer anisotropic blur honoring voxel physical
+  units (createGaussianPyramid :676-754), separable mirror-padded blur
+  (gaussianBlur :365-548), stride-2 downsampling (:549-562).
+* DoG pyramid + per-layer max |DoG| (:756-793).
+* Extrema: strict max/min over 6 spatial + 2 scale neighbors with threshold
+  alpha * max_abs (detectExtrema :795-847).
+* Orientation: eigen-decomposition of the Gaussian-weighted gradient structure
+  tensor in a spherical window (r = 3 * 1.5 * scale), rejecting weak gradients
+  and ambiguous eigenvalues/angles, yielding a 3x3 rotation per keypoint
+  (assignOrientation :849-1050).
+* Descriptor: 768-d = 4x4x4 spatial cubes x 12 icosahedron vertex bins;
+  gradients rotated into the keypoint frame, soft-assigned barycentrically
+  onto the intersected icosahedron triangle, trilinearly over the 8 adjacent
+  cubes (constructDescriptor :1051-1250); truncate + renormalize.
+
+TPU design: whole-volume pyramid ops; keypoints batched per (octave, layer)
+group with static window sizes (the voxel-space window radius is
+octave-independent because scale and voxel pitch both double per octave);
+descriptor accumulation is one scatter-add of the 24 static contributions per
+voxel; matching is a [N1,768]x[768,N2] matmul + top-2.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.precision import highest_precision
+
+IMG_BORDER = 1  # oc_sift.h:22
+
+# Icosahedron triangle tiles (oc_sift.cpp:209-232): vertex indices and vertex
+# coordinates per triangle.
+_T = 0.5257311
+_S = 0.8506508
+ICOSA_TRIPLETS = np.array(
+    [
+        [1, 0, 8], [8, 0, 4], [4, 0, 5], [5, 0, 9], [9, 0, 1],
+        [6, 1, 8], [6, 8, 10], [10, 8, 4], [10, 4, 2], [2, 4, 5],
+        [2, 5, 11], [11, 5, 9], [11, 9, 7], [7, 9, 1], [7, 1, 6],
+        [6, 3, 7], [7, 3, 11], [11, 3, 2], [2, 3, 10], [10, 3, 6],
+    ],
+    np.int32,
+)
+ICOSA_VERTICES = np.array(
+    [
+        [0, _T, _S], [0, -_T, _S], [0, _T, -_S], [0, -_T, -_S],
+        [_T, _S, 0], [-_T, _S, 0], [_T, -_S, 0], [-_T, -_S, 0],
+        [_S, 0, _T], [-_S, 0, _T], [_S, 0, -_T], [-_S, 0, -_T],
+    ],
+    np.float32,
+)
+
+
+def gaussian_blur(vol: jnp.ndarray, sigma: float, unit_xyz) -> jnp.ndarray:
+    """Separable Gaussian blur with mirror extension (oc_sift.cpp:365-548).
+
+    Kernel radius per axis: ceil(3 sigma) scaled by unit_max/unit_axis
+    (rounded), minimum radius 1; taps exp(-0.5 (i/sigma)^2), normalized.
+    """
+    unit_max = max(unit_xyz)
+    if sigma > 0:
+        kernel_radius = max(int(math.ceil(3.0 * sigma)), 1)
+    else:
+        sigma = 0.0
+        kernel_radius = 1
+
+    out = vol
+    for axis, unit in ((2, unit_xyz[0]), (1, unit_xyz[1]), (0, unit_xyz[2])):
+        radius = kernel_radius * int(math.floor(unit_max / unit + 0.5))
+        taps = np.ones(radius + 1, np.float32)
+        for i in range(1, radius + 1):
+            x = i / (sigma + np.finfo(np.float32).eps)
+            taps[i] = math.exp(-0.5 * x * x)
+            taps[0] += taps[i] * 2.0
+        taps[0] = 1.0 / taps[0]
+        taps[1:] *= taps[0]
+
+        pad = [(0, 0)] * 3
+        pad[axis] = (radius, radius)
+        padded = jnp.pad(out, pad, mode="reflect")
+        acc = taps[0] * out
+        n = vol.shape[axis]
+        for r in range(1, radius + 1):
+            lo = jax.lax.slice_in_dim(padded, radius - r, radius - r + n, axis=axis)
+            hi = jax.lax.slice_in_dim(padded, radius + r, radius + r + n, axis=axis)
+            acc = acc + taps[r] * (lo + hi)
+        out = acc
+    return out
+
+
+def downsample(vol: jnp.ndarray, dst_shape) -> jnp.ndarray:
+    """Stride-2 sampling (oc_sift.cpp:549-562)."""
+    dz, dy, dx = dst_shape
+    return vol[: 2 * dz : 2, : 2 * dy : 2, : 2 * dx : 2]
+
+
+@jax.jit
+def dog_layer(upper: jnp.ndarray, lower: jnp.ndarray):
+    d = upper - lower
+    return d, jnp.max(jnp.abs(d))
+
+
+@jax.jit
+def extrema_mask(dog_prev, dog_cur, dog_next, alpha_max_abs):
+    """Strict 8-neighbor extremum mask (detectExtrema, oc_sift.cpp:795-847)."""
+    v = dog_cur
+    big = jnp.abs(v) >= alpha_max_abs
+
+    def shifted(a, dz, dy, dx):
+        return jnp.roll(a, (dz, dy, dx), axis=(0, 1, 2))
+
+    neigh = [
+        shifted(dog_cur, 1, 0, 0), shifted(dog_cur, -1, 0, 0),
+        shifted(dog_cur, 0, 1, 0), shifted(dog_cur, 0, -1, 0),
+        shifted(dog_cur, 0, 0, 1), shifted(dog_cur, 0, 0, -1),
+        dog_prev, dog_next,
+    ]
+    gt = big
+    lt = big
+    for nb in neigh:
+        gt = gt & (v > nb)
+        lt = lt & (v < nb)
+    mask = gt | lt
+    # zero the 1-voxel border
+    mask = mask.at[:IMG_BORDER].set(False).at[-IMG_BORDER:].set(False)
+    mask = mask.at[:, :IMG_BORDER].set(False).at[:, -IMG_BORDER:].set(False)
+    mask = mask.at[:, :, :IMG_BORDER].set(False).at[:, :, -IMG_BORDER:].set(False)
+    return mask
+
+
+def _sym_eigh_desc_3x3(a: jnp.ndarray):
+    """Closed-form eigendecomposition of symmetric [..., 3, 3], eigenvalues in
+    DESCENDING order with normalized eigenvectors [..., 3(vec), 3(comp)]."""
+    a00 = a[..., 0, 0]
+    a01 = a[..., 0, 1]
+    a02 = a[..., 0, 2]
+    a11 = a[..., 1, 1]
+    a12 = a[..., 1, 2]
+    a22 = a[..., 2, 2]
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30) / 6.0)
+    inv_p = 1.0 / p
+    b00 = (a00 - q) * inv_p
+    b01 = a01 * inv_p
+    b02 = a02 * inv_p
+    b11 = (a11 - q) * inv_p
+    b12 = a12 * inv_p
+    b22 = (a22 - q) * inv_p
+    detb = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(detb / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+
+    def eigvec(lam):
+        # rows of (A - lam I); eigenvector = largest cross product of rows
+        r0 = jnp.stack([a00 - lam, a01, a02], -1)
+        r1 = jnp.stack([a01, a11 - lam, a12], -1)
+        r2 = jnp.stack([a02, a12, a22 - lam], -1)
+        c01 = jnp.cross(r0, r1)
+        c02 = jnp.cross(r0, r2)
+        c12 = jnp.cross(r1, r2)
+        n01 = jnp.sum(c01 * c01, -1)
+        n02 = jnp.sum(c02 * c02, -1)
+        n12 = jnp.sum(c12 * c12, -1)
+        best = jnp.argmax(jnp.stack([n01, n02, n12], -1), axis=-1)
+        cands = jnp.stack([c01, c02, c12], axis=-2)  # [..., 3cand, 3]
+        v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1), -2)[..., 0, :]
+        return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-30))
+
+    vecs = jnp.stack([eigvec(l1), eigvec(l2), eigvec(l3)], axis=-2)
+    vals = jnp.stack([l1, l2, l3], axis=-1)
+    return vals, vecs
+
+
+@functools.partial(jax.jit, static_argnames=())
+@highest_precision
+def assign_orientation(
+    win: jnp.ndarray,  # [K, s, s, s] pre-gathered windows (clamped starts)
+    x0: jnp.ndarray,  # [K] window start coords in the layer
+    y0: jnp.ndarray,
+    z0: jnp.ndarray,
+    xi: jnp.ndarray,  # [K] int keypoint coords in this layer
+    yi: jnp.ndarray,
+    zi: jnp.ndarray,
+    dims: jnp.ndarray,  # [3] (dx, dy, dz) of the layer
+    scale: jnp.ndarray,  # scalar: layer scale (physical)
+    units: jnp.ndarray,  # [3] voxel pitch of this layer
+    grad_threshold: jnp.ndarray,
+    beta: jnp.ndarray,
+    gamma: jnp.ndarray,
+):
+    """Returns (rot[K, 3, 3] row-major as in the reference, ok[K])."""
+    f32 = jnp.float32
+    dx, dy, dz = dims[0], dims[1], dims[2]
+    s = win.shape[1]
+
+    og = jnp.arange(s)
+    zc = (z0[:, None] + og[None, :])  # absolute coords [K, s]
+    yc = (y0[:, None] + og[None, :])
+    xc = (x0[:, None] + og[None, :])
+    inb = (
+        ((zc >= IMG_BORDER) & (zc <= dz - 1 - IMG_BORDER))[:, :, None, None]
+        & ((yc >= IMG_BORDER) & (yc <= dy - 1 - IMG_BORDER))[:, None, :, None]
+        & ((xc >= IMG_BORDER) & (xc <= dx - 1 - IMG_BORDER))[:, None, None, :]
+    )
+
+    sigma_w = 1.5 * scale
+    wrad = 3.0 * sigma_w
+    # physical offsets from the keypoint (voxel offset * unit)
+    px = (xc.astype(f32) - xi.astype(f32)[:, None]) * units[0]  # [K, s]
+    py = (yc.astype(f32) - yi.astype(f32)[:, None]) * units[1]
+    pz = (zc.astype(f32) - zi.astype(f32)[:, None]) * units[2]
+    d2 = (
+        pz[:, :, None, None] ** 2 + py[:, None, :, None] ** 2
+        + px[:, None, None, :] ** 2
+    )
+    dist = jnp.sqrt(d2)
+    sphere = dist <= wrad
+    weight = jnp.exp(-0.5 * (dist / sigma_w) ** 2) * sphere * inb
+
+    # central-difference gradients w.r.t. physical coordinates
+    gxv = 0.5 * (_sh(win, 0, 0, 1) - _sh(win, 0, 0, -1)) / units[0]
+    gyv = 0.5 * (_sh(win, 0, 1, 0) - _sh(win, 0, -1, 0)) / units[1]
+    gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2]
+
+    axes = (1, 2, 3)
+    st = jnp.stack(
+        [
+            jnp.stack([jnp.sum(gxv * gxv * weight, axes),
+                       jnp.sum(gxv * gyv * weight, axes),
+                       jnp.sum(gxv * gzv * weight, axes)], -1),
+            jnp.stack([jnp.sum(gxv * gyv * weight, axes),
+                       jnp.sum(gyv * gyv * weight, axes),
+                       jnp.sum(gyv * gzv * weight, axes)], -1),
+            jnp.stack([jnp.sum(gxv * gzv * weight, axes),
+                       jnp.sum(gyv * gzv * weight, axes),
+                       jnp.sum(gzv * gzv * weight, axes)], -1),
+        ],
+        axis=-2,
+    )  # [K, 3, 3]
+    d_vec = jnp.stack(
+        [jnp.sum(gxv * weight, axes), jnp.sum(gyv * weight, axes),
+         jnp.sum(gzv * weight, axes)], -1)  # [K, 3]
+
+    ok = jnp.sum(d_vec * d_vec, -1) >= grad_threshold
+
+    vals, vecs = _sym_eigh_desc_3x3(st)
+    l1, l2, l3 = vals[:, 0], vals[:, 1], vals[:, 2]
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    ok = ok & ~(
+        (l2 / l1 > beta) | (l3 / l2 > beta)
+        | (jnp.abs(l1 - l2) < eps) | (jnp.abs(l2 - l3) < eps)
+        | (jnp.abs(l3 - l1) < eps)
+    )
+
+    dn = jnp.sqrt(jnp.maximum(jnp.sum(d_vec * d_vec, -1), 1e-30))
+    q1 = vecs[:, 0]
+    q2 = vecs[:, 1]
+    qd1 = jnp.sum(q1 * d_vec, -1)
+    qd2 = jnp.sum(q2 * d_vec, -1)
+    cos1 = jnp.abs(qd1) / dn  # |q| = 1
+    cos2 = jnp.abs(qd2) / dn
+    cos_phi = jnp.minimum(cos1, cos2)
+    ok = ok & (cos_phi >= gamma)
+    r1 = q1 * jnp.where(qd1 > 0, 1.0, -1.0)[:, None]
+    r2 = q2 * jnp.where(qd2 > 0, 1.0, -1.0)[:, None]
+    rc = jnp.cross(r1, r2)
+    rot = jnp.stack([r1, r2, rc], axis=-2)  # rows (oc_sift.cpp:1015-1027)
+    return rot, ok
+
+
+def _sh(win, dz, dy, dx):
+    return jnp.roll(win, (dz, dy, dx), axis=(1, 2, 3))
+
+
+@functools.partial(jax.jit, static_argnames=())
+@highest_precision
+def construct_descriptor(
+    win: jnp.ndarray,  # [K, s, s, s]
+    x0: jnp.ndarray,
+    y0: jnp.ndarray,
+    z0: jnp.ndarray,
+    xi: jnp.ndarray,
+    yi: jnp.ndarray,
+    zi: jnp.ndarray,
+    dims: jnp.ndarray,
+    rot: jnp.ndarray,  # [K, 3, 3]
+    scale: jnp.ndarray,
+    units: jnp.ndarray,
+    truncate: jnp.ndarray,
+):
+    """Returns [K, 768] descriptors (constructDescriptor, oc_sift.cpp:1051-1250)."""
+    f32 = jnp.float32
+    k = xi.shape[0]
+    s = win.shape[1]
+    v = s * s * s
+    dx, dy, dz = dims[0], dims[1], dims[2]
+
+    sqrt2 = jnp.sqrt(jnp.float32(2.0))
+    sigma = 5.0 * sqrt2 * scale
+    sphere_radius = 2.0 * sigma
+    cube_radius = sphere_radius / sqrt2
+
+    og = jnp.arange(s)
+    zc = z0[:, None] + og[None, :]
+    yc = y0[:, None] + og[None, :]
+    xc = x0[:, None] + og[None, :]
+    inb = (
+        ((zc >= IMG_BORDER) & (zc <= dz - 1 - IMG_BORDER))[:, :, None, None]
+        & ((yc >= IMG_BORDER) & (yc <= dy - 1 - IMG_BORDER))[:, None, :, None]
+        & ((xc >= IMG_BORDER) & (xc <= dx - 1 - IMG_BORDER))[:, None, None, :]
+    )
+
+    px = (xc.astype(f32) - xi.astype(f32)[:, None]) * units[0]
+    py = (yc.astype(f32) - yi.astype(f32)[:, None]) * units[1]
+    pz = (zc.astype(f32) - zi.astype(f32)[:, None]) * units[2]
+    pxb = px[:, None, None, :]
+    pyb = py[:, None, :, None]
+    pzb = pz[:, :, None, None]
+    dist = jnp.sqrt(pxb**2 + pyb**2 + pzb**2)
+    valid = (dist <= sphere_radius) & inb
+
+    # rotate local coordinates into the keypoint frame
+    def rotate(rmat, ax, ay, az):
+        rx = rmat[:, 0, 0, None, None, None] * ax + rmat[:, 0, 1, None, None, None] * ay + rmat[:, 0, 2, None, None, None] * az
+        ry = rmat[:, 1, 0, None, None, None] * ax + rmat[:, 1, 1, None, None, None] * ay + rmat[:, 1, 2, None, None, None] * az
+        rz = rmat[:, 2, 0, None, None, None] * ax + rmat[:, 2, 1, None, None, None] * ay + rmat[:, 2, 2, None, None, None] * az
+        return rx, ry, rz
+
+    rx, ry, rz = rotate(rot, pxb + 0 * dist, pyb + 0 * dist, pzb + 0 * dist)
+    sub_x = 2.0 * (rx + cube_radius) / cube_radius - 0.5
+    sub_y = 2.0 * (ry + cube_radius) / cube_radius - 0.5
+    sub_z = 2.0 * (rz + cube_radius) / cube_radius - 0.5
+    valid = valid & (sub_x > -0.5) & (sub_x < 3.5) & (sub_y > -0.5) \
+        & (sub_y < 3.5) & (sub_z > -0.5) & (sub_z < 3.5)
+
+    weight = jnp.exp(-0.5 * (dist / sigma) ** 2)
+    gxv = 0.5 * (_sh(win, 0, 0, 1) - _sh(win, 0, 0, -1)) / units[0] * weight
+    gyv = 0.5 * (_sh(win, 0, 1, 0) - _sh(win, 0, -1, 0)) / units[1] * weight
+    gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2] * weight
+    ggx, ggy, ggz = rotate(rot, gxv, gyv, gzv)
+    mag2 = ggx * ggx + ggy * ggy + ggz * ggz
+    eps10 = jnp.float32(np.finfo(np.float32).eps * 10.0)
+    valid = valid & (mag2 >= eps10)
+    mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
+
+    # --- icosahedron triangle search (cartisan2Barycentric, :579-624) ------
+    # Static loop over the 20 tiles with first-match accumulators: keeps peak
+    # memory at O(K*V) instead of O(K*V*20*3).
+    verts = ICOSA_VERTICES
+    tri = ICOSA_TRIPLETS
+
+    gx_f = ggx.reshape(k, v)
+    gy_f = ggy.reshape(k, v)
+    gz_f = ggz.reshape(k, v)
+    tol = -eps10
+    found = jnp.zeros((k, v), bool)
+    baryx = jnp.zeros((k, v), f32)
+    baryy = jnp.zeros((k, v), f32)
+    baryz = jnp.zeros((k, v), f32)
+    tidx = jnp.zeros((k, v), jnp.int32)
+    for t in range(20):
+        v1, v2, v3 = verts[tri[t, 0]], verts[tri[t, 1]], verts[tri[t, 2]]
+        e1 = v2 - v1
+        e2 = v3 - v1
+        tv = -v1
+        qv = np.cross(tv, e1).astype(np.float32)
+        qe2 = float(np.dot(qv, e2))
+        # p = g x e2 (components expanded; e2 is a compile-time constant)
+        p0 = gy_f * e2[2] - gz_f * e2[1]
+        p1 = gz_f * e2[0] - gx_f * e2[2]
+        p2 = gx_f * e2[1] - gy_f * e2[0]
+        det = e1[0] * p0 + e1[1] * p1 + e1[2] * p2
+        det_ok = jnp.abs(det) >= eps10
+        det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        bz_t = det_inv * (gx_f * qv[0] + gy_f * qv[1] + gz_f * qv[2])
+        by_t = det_inv * (p0 * tv[0] + p1 * tv[1] + p2 * tv[2])
+        bx_t = 1.0 - by_t - bz_t
+        kk = det_inv * qe2
+        ok_t = det_ok & (kk >= 0) & (bx_t > tol) & (by_t > tol) & (bz_t > tol)
+        # residual check (oc_sift.cpp:615-620)
+        r0 = kk * gx_f - (bx_t * v1[0] + by_t * v2[0] + bz_t * v3[0])
+        r1 = kk * gy_f - (bx_t * v1[1] + by_t * v2[1] + bz_t * v3[1])
+        r2 = kk * gz_f - (bx_t * v1[2] + by_t * v2[2] + bz_t * v3[2])
+        ok_t = ok_t & (r0 * r0 + r1 * r1 + r2 * r2 <= eps10 * eps10)
+        take_t = ok_t & ~found
+        baryx = jnp.where(take_t, bx_t, baryx)
+        baryy = jnp.where(take_t, by_t, baryy)
+        baryz = jnp.where(take_t, bz_t, baryz)
+        tidx = jnp.where(take_t, t, tidx)
+        found = found | ok_t
+    valid = valid.reshape(k, v) & found
+    vidx = jnp.asarray(tri)[tidx]  # [K, V, 3]
+
+    # --- trilinear scatter into 4x4x4 cubes x 12 vertices ------------------
+    sxf = sub_x.reshape(k, v)
+    syf = sub_y.reshape(k, v)
+    szf = sub_z.reshape(k, v)
+    fx = jnp.floor(sxf)
+    fy = jnp.floor(syf)
+    fz = jnp.floor(szf)
+    dxw = sxf - fx
+    dyw = syf - fy
+    dzw = szf - fz
+    # (int) truncation for cube indexing (oc_sift.cpp:1184-1186)
+    ix = sxf.astype(jnp.int32)
+    iy = syf.astype(jnp.int32)
+    iz = szf.astype(jnp.int32)
+
+    magf = mag.reshape(k, v) * valid
+
+    bins = []
+    vals = []
+    for dzc in (0, 1):
+        for dyc in (0, 1):
+            for dxc in (0, 1):
+                lx = ix + dxc
+                ly = iy + dyc
+                lz = iz + dzc
+                cube_ok = (
+                    (lx >= 0) & (ly >= 0) & (lz >= 0)
+                    & (lx < 4) & (ly < 4) & (lz < 4)
+                )
+                cube = lx + ly * 4 + lz * 16
+                w = (
+                    jnp.where(dxc == 0, 1.0 - dxw, dxw)
+                    * jnp.where(dyc == 0, 1.0 - dyw, dyw)
+                    * jnp.where(dzc == 0, 1.0 - dzw, dzw)
+                )
+                contrib = magf * w * cube_ok
+                for j, b in enumerate((baryx, baryy, baryz)):
+                    bin_idx = jnp.where(cube_ok, cube * 12 + vidx[..., j], 0)
+                    bins.append(bin_idx)
+                    vals.append(contrib * b)
+
+    bins_all = jnp.stack(bins, axis=-1).reshape(k, -1)  # [K, V*24]
+    vals_all = jnp.stack(vals, axis=-1).reshape(k, -1)
+
+    def scatter_one(b, x):
+        return jnp.zeros(768, f32).at[b].add(x)
+
+    desc = jax.vmap(scatter_one)(bins_all, vals_all)
+
+    # normalize -> truncate -> normalize (oc_sift.cpp:1217-1248)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    desc = desc / (jnp.sqrt(jnp.sum(desc * desc, -1, keepdims=True)) + eps)
+    desc = jnp.minimum(desc, truncate)
+    desc = desc / (jnp.sqrt(jnp.sum(desc * desc, -1, keepdims=True)) + eps)
+    return desc
