@@ -211,13 +211,14 @@ def icgn2d(
         active = step & (dpn >= conv) & (it < max_iter)
         return wmat, active, it, dpn, znssd, oob_fail
 
+    zf = jnp.zeros_like(xs)  # derived from inputs: sharding-varying under shard_map
     state0 = (
         wmat0,
         valid,
-        jnp.zeros(n, f32),
-        jnp.zeros(n, f32),
-        jnp.zeros(n, f32),
-        jnp.zeros(n, jnp.bool_),
+        zf,
+        zf,
+        zf,
+        valid & ~valid,
     )
     wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
         lambda st: jnp.any(st[1]), body, state0
@@ -413,10 +414,11 @@ def icgn2d_adaptive(
         active = step & (dpn >= conv) & (it < max_iter)
         return wmat, active, it, dpn, znssd, oob_fail
 
+    zf = jnp.zeros_like(xs)  # sharding-varying under shard_map
     state0 = (
         wmat0, valid,
-        jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
-        jnp.zeros(n, jnp.bool_),
+        zf, zf, zf,
+        valid & ~valid,
     )
     wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
         lambda st: jnp.any(st[1]), body, state0
@@ -583,13 +585,14 @@ def icgn3d1(
         active = step & (dpn >= conv) & (it < max_iter)
         return wmat, active, it, dpn, znssd, oob_fail
 
+    zf = jnp.zeros_like(xs)  # derived from inputs: sharding-varying under shard_map
     state0 = (
         wmat0,
         valid,
-        jnp.zeros(n, f32),
-        jnp.zeros(n, f32),
-        jnp.zeros(n, f32),
-        jnp.zeros(n, jnp.bool_),
+        zf,
+        zf,
+        zf,
+        valid & ~valid,
     )
     wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
         lambda st: jnp.any(st[1]), body, state0

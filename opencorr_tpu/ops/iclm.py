@@ -162,10 +162,11 @@ def iclm2d(
         active = active & (dpn >= conv) & (it < max_iter)
         return wmat, active, it, dpn, znssd_out, lam, znssd0
 
+    zf = jnp.zeros_like(xs)  # sharding-varying under shard_map
     state0 = (
         wmat0, valid,
-        jnp.zeros(n, f32), jnp.zeros(n, f32), jnp.zeros(n, f32),
-        jnp.zeros(n, f32), jnp.full((n,), 4.0, f32),
+        zf, zf, zf,
+        zf, zf + 4.0,
     )
     wmat, _, it, dpn, znssd, _, _ = jax.lax.while_loop(
         lambda st: jnp.any(st[1]), body, state0

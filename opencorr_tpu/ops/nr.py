@@ -109,8 +109,8 @@ def nr2d1(
         return p6, active, it, dpn, znssd_out
 
     p6_init = p_in[:, jnp.array([0, 1, 2, 6, 7, 8])]
-    state0 = (p6_init, valid, jnp.zeros(n, f32), jnp.zeros(n, f32),
-              jnp.zeros(n, f32))
+    zf = jnp.zeros_like(xs)  # sharding-varying under shard_map
+    state0 = (p6_init, valid, zf, zf, zf)
     p6, _, it, dpn, znssd = jax.lax.while_loop(
         lambda st: jnp.any(st[1]), body, state0
     )

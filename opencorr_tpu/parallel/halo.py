@@ -1,0 +1,189 @@
+"""Volume-block sharding with halo exchange for DVC.
+
+The reference has no distributed story (single process + OpenMP, SURVEY.md
+§2.8); this module supplies the TPU-native design from SURVEY.md §5.8: CT
+volumes are sharded in z-blocks across the device mesh, each device exchanges
+boundary slabs with its neighbors over ICI (``lax.ppermute``), computes
+gradient/coefficient state on its extended block, and refines the POIs that
+fall in its block — no other communication until the final field gather.
+
+Halo sizing: a POI touches at most a (2r+1)^3 window, the 4th-order gradient
+stencil adds +-2, the tricubic prefilter has 15-tap (+-7) support
+(oc_cubic_bspline.cpp:229); with ``halo = r + 2 + 7`` the per-block
+coefficient/gradient state matches the global computation to prefilter-tap
+decay (b7 ~ 1.7e-4).  Warped subsets that wander beyond the halo hit the
+interpolation range guard and are reported -3, exactly like an out-of-image
+warp in the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data import poi as poi_mod
+from ..ops import bspline, gradient, icgn as icgn_ops
+
+
+def halo_exchange_z(block: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Extend a local z-block with neighbor slabs: [Bz, Y, X] ->
+    [halo + Bz + halo, Y, X].  Edge devices receive a neighbor's wrapped slab
+    (ring ppermute) but their POIs never reference it: the global volume
+    boundary guard already excludes subsets crossing the volume edge."""
+    n = jax.lax.axis_size(axis_name)
+    top = block[:halo]  # slab to send to the previous device's bottom
+    bot = block[-halo:]
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+    bwd = [(i, (i - 1) % n) for i in range(n)]
+    from_prev = jax.lax.ppermute(bot, axis_name, fwd)  # prev device's bottom
+    from_next = jax.lax.ppermute(top, axis_name, bwd)  # next device's top
+    return jnp.concatenate([from_prev, block, from_next], axis=0)
+
+
+def partition_pois_z(table: poi_mod.POITable3D, n_blocks: int, dim_z: int):
+    """Host-side: assign each POI to the z-block containing it, pad every
+    block's queue to the max count (replicating the first POI with a poisoned
+    status so padding never computes), and return the stacked [n_blocks, Np]
+    table plus the scatter indices to restore original order."""
+    z = np.asarray(table.z)
+    bz = dim_z // n_blocks
+    owner = np.clip((z // bz).astype(np.int64), 0, n_blocks - 1)
+    order = np.argsort(owner, kind="stable")
+    counts = np.bincount(owner, minlength=n_blocks)
+    cap = int(counts.max()) if len(order) else 1
+
+    idx = np.zeros((n_blocks, cap), np.int64)
+    valid = np.zeros((n_blocks, cap), bool)
+    pos = 0
+    for b in range(n_blocks):
+        c = counts[b]
+        idx[b, :c] = order[pos : pos + c]
+        idx[b, c:] = order[pos] if c else 0
+        valid[b, :c] = True
+        pos += c
+    return idx, valid, owner, bz
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rx", "ry", "rz", "halo", "mesh_axis", "mesh"),
+)
+def _sharded_icgn3d(
+    ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid, conv, max_iter,
+    *, rx, ry, rz, halo, mesh_axis, mesh,
+):
+
+    def block_fn(ref_blk, tar_blk, xs_b, ys_b, zs_b, p_b, z_b, ok_b):
+        # drop the leading block axis shard_map leaves on the POI arrays
+        xs_b, ys_b, zs_b = xs_b[0], ys_b[0], zs_b[0]
+        p_b, z_b, ok_b = p_b[0], z_b[0], ok_b[0]
+        dev = jax.lax.axis_index(mesh_axis)
+        bz = ref_blk.shape[0]
+        ref_ext = halo_exchange_z(ref_blk, halo, mesh_axis)
+        tar_ext = halo_exchange_z(tar_blk, halo, mesh_axis)
+        # local prepare() on the extended block
+        gx = gradient.gradient_x_3d(ref_ext)
+        gy = gradient.gradient_y_3d(ref_ext)
+        gz = gradient.gradient_z_3d(ref_ext)
+        coeff = bspline.tricubic_prepare(tar_ext)
+        # translate POI z into extended-block coordinates
+        z_local = zs_b - (dev * bz).astype(jnp.float32) + halo
+        zin = jnp.where(ok_b, z_b, jnp.float32(-10.0))  # poison padding
+        out = icgn_ops.icgn3d1(
+            gx, gy, gz, ref_ext, coeff, xs_b, ys_b, z_local, p_b, zin,
+            conv, max_iter, rx=rx, ry=ry, rz=rz,
+        )
+        return tuple(o[None] for o in out[:6])
+
+    fn = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis),
+                  P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis)),
+        out_specs=P(mesh_axis),
+    )
+    return fn(ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid)
+
+
+class ShardedICGN3D1:
+    """DVC IC-GN over a z-sharded volume (multi-chip DVC).
+
+    Usage mirrors ICGN3D1 but compute() takes the mesh. The volume z-dimension
+    must divide the mesh size. Each POI is refined by the device owning its
+    z-block; results are gathered back into the original queue order.
+    """
+
+    def __init__(self, subset_radius_x: int, subset_radius_y: int,
+                 subset_radius_z: int, conv_criterion: float = 0.001,
+                 stop_condition: float = 10):
+        self.rx = int(subset_radius_x)
+        self.ry = int(subset_radius_y)
+        self.rz = int(subset_radius_z)
+        self.conv_criterion = float(conv_criterion)
+        self.stop_condition = float(stop_condition)
+        self.halo = self.rz + 2 + 7
+        self.ref_vol = None
+        self.tar_vol = None
+
+    def set_images(self, ref_vol, tar_vol):
+        self.ref_vol = np.asarray(getattr(ref_vol, "mat", ref_vol), np.float32)
+        self.tar_vol = np.asarray(getattr(tar_vol, "mat", tar_vol), np.float32)
+
+    def compute(self, table: poi_mod.POITable3D, mesh: Mesh,
+                axis: str = "z") -> poi_mod.POITable3D:
+        n_dev = mesh.devices.size
+        dim_z = self.ref_vol.shape[0]
+        if dim_z % n_dev:
+            raise ValueError(
+                f"volume z={dim_z} not divisible by mesh size {n_dev}")
+        if dim_z // n_dev < self.halo:
+            raise ValueError("block smaller than halo; use fewer devices")
+
+        idx, valid, owner, bz = partition_pois_z(table, n_dev, dim_z)
+        gather = lambda a: jnp.asarray(np.asarray(a)[idx])
+
+        vol_sh = NamedSharding(mesh, P(axis))
+        ref_d = jax.device_put(jnp.asarray(self.ref_vol), vol_sh)
+        tar_d = jax.device_put(jnp.asarray(self.tar_vol), vol_sh)
+
+        outs = _sharded_icgn3d(
+            ref_d, tar_d,
+            gather(table.x), gather(table.y), gather(table.z),
+            gather(table.p), gather(table.r[:, poi_mod.R3_ZNCC]),
+            jnp.asarray(valid),
+            jnp.float32(self.conv_criterion), jnp.float32(self.stop_condition),
+            rx=self.rx, ry=self.ry, rz=self.rz, halo=self.halo,
+            mesh_axis=axis, mesh=mesh,
+        )
+        p_out, u0, v0, w0, zncc, it = (np.asarray(o) for o in outs)
+
+        # scatter back to original order
+        n = table.n
+        flat_idx = idx.reshape(-1)
+        flat_valid = valid.reshape(-1)
+        p_new = np.asarray(table.p).copy()
+        r_new = np.asarray(table.r).copy()
+        sel = flat_valid
+        tgt = flat_idx[sel]
+        p_new[tgt] = p_out.reshape(-1, 12)[sel]
+        r_new[tgt, poi_mod.R3_U0] = u0.reshape(-1)[sel]
+        r_new[tgt, poi_mod.R3_V0] = v0.reshape(-1)[sel]
+        r_new[tgt, poi_mod.R3_W0] = w0.reshape(-1)[sel]
+        r_new[tgt, poi_mod.R3_ZNCC] = zncc.reshape(-1)[sel]
+        r_new[tgt, poi_mod.R3_ITER] = it.reshape(-1)[sel]
+
+        # The per-block z guard cannot see the global volume boundary (the
+        # ring halo wraps); re-impose the reference's guard (oc_icgn.cpp:1279)
+        # for POIs whose subset crosses the global z edge.
+        z_np = np.asarray(table.z)
+        zncc_in_np = np.asarray(table.r)[:, poi_mod.R3_ZNCC]
+        bad = (z_np - self.rz < 0) | (z_np + self.rz > dim_z - 1)
+        r_new[bad, poi_mod.R3_ZNCC] = np.where(
+            zncc_in_np[bad] >= 0, -3.0, zncc_in_np[bad])
+        p_new[bad] = np.asarray(table.p)[bad]
+        return table.replace(p=jnp.asarray(p_new), r=jnp.asarray(r_new))
