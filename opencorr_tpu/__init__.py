@@ -8,7 +8,7 @@ OpenCorr-compatible I/O — all batched over the POI axis and shardable over a
 TPU device mesh.
 """
 
-from .data.image import Image2D, Image3D
+from .data.image import ColorfulImage2D, Image2D, Image3D
 from .data.poi import (
     POITable2D,
     POITable2DS,
@@ -32,6 +32,7 @@ from .models.stereovision import Stereovision
 from .models.strain import Strain
 
 __all__ = [
+    "ColorfulImage2D",
     "Image2D",
     "Image3D",
     "POITable2D",

@@ -101,3 +101,33 @@ class Image3D:
     @classmethod
     def from_array(cls, arr) -> "Image3D":
         return cls(mat=np.asarray(arr, np.float32))
+
+
+@dataclasses.dataclass
+class ColorfulImage2D:
+    """BGR color image split into per-channel float32 planes (mirrors
+    ``ColorfulImage2D``, oc_image.h:68 / oc_image.cpp:177-223)."""
+
+    b: np.ndarray
+    g: np.ndarray
+    r: np.ndarray
+    file_path: str = ""
+
+    @property
+    def height(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.b.shape[1]
+
+    @classmethod
+    def load(cls, file_path: str) -> "ColorfulImage2D":
+        import cv2
+
+        m = cv2.imread(file_path, cv2.IMREAD_COLOR)
+        if m is None:
+            raise IOError(f"Fail to load file: {file_path}")
+        b, g, r = cv2.split(m)
+        return cls(b=b.astype(np.float32), g=g.astype(np.float32),
+                   r=r.astype(np.float32), file_path=file_path)

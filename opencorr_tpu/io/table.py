@@ -198,6 +198,84 @@ def load_points_2d(path: str, delimiter: str = ",") -> np.ndarray:
     )
 
 
+def save_points_2d(path: str, points: np.ndarray, delimiter: str = ",") -> None:
+    """``savePoint2D`` (oc_io.cpp:120-140)."""
+    with open(path, "w") as f:
+        for p in np.asarray(points):
+            f.write(_fmt_row(p[:2], delimiter) + "\n")
+
+
+def load_points_3d(path: str, delimiter: str = ",") -> np.ndarray:
+    """``loadPoint3D`` (oc_io.cpp:828+): no header, x,y,z per line."""
+    return np.atleast_2d(
+        np.genfromtxt(path, delimiter=delimiter, dtype=np.float32)
+    )
+
+
+_MAP_VARS_2DS = {
+    "u": lambda t: np.asarray(t.p)[:, 0],
+    "v": lambda t: np.asarray(t.p)[:, 1],
+    "w": lambda t: np.asarray(t.p)[:, 2],
+    "zncc_r1r2": lambda t: np.asarray(t.r)[:, 0],
+    "zncc_r1t1": lambda t: np.asarray(t.r)[:, 1],
+    "zncc_r1t2": lambda t: np.asarray(t.r)[:, 2],
+    "exx": lambda t: np.asarray(t.e)[:, 0],
+    "eyy": lambda t: np.asarray(t.e)[:, 1],
+    "ezz": lambda t: np.asarray(t.e)[:, 2],
+    "exy": lambda t: np.asarray(t.e)[:, 3],
+    "eyz": lambda t: np.asarray(t.e)[:, 4],
+    "ezx": lambda t: np.asarray(t.e)[:, 5],
+}
+
+
+def save_map_2ds(path: str, table: poi_mod.POITable2DS, variable: str,
+                 height: int, width: int, delimiter: str = ",") -> None:
+    """Stereo value map (``saveMap2DS``, oc_io.cpp:671-826)."""
+    vals = _MAP_VARS_2DS[variable](table)
+    out = np.zeros((height, width), np.float32)
+    xs = np.asarray(table.x).astype(np.int32)
+    ys = np.asarray(table.y).astype(np.int32)
+    out[ys, xs] = vals
+    with open(path, "w") as f:
+        for row in out:
+            f.write(_fmt_row(row, delimiter) + "\n")
+
+
+_MAP_VARS_3D = {
+    "u": lambda t: np.asarray(t.p)[:, poi_mod.U3],
+    "v": lambda t: np.asarray(t.p)[:, poi_mod.V3],
+    "w": lambda t: np.asarray(t.p)[:, poi_mod.W3],
+    "zncc": lambda t: np.asarray(t.r)[:, poi_mod.R3_ZNCC],
+    "iteration": lambda t: np.asarray(t.r)[:, poi_mod.R3_ITER],
+    "deformation_increment": lambda t: np.asarray(t.r)[:, poi_mod.R3_CONV],
+    "feature": lambda t: np.asarray(t.r)[:, poi_mod.R3_FEAT],
+    "exx": lambda t: np.asarray(t.e)[:, 0],
+    "eyy": lambda t: np.asarray(t.e)[:, 1],
+    "ezz": lambda t: np.asarray(t.e)[:, 2],
+    "exy": lambda t: np.asarray(t.e)[:, 3],
+    "eyz": lambda t: np.asarray(t.e)[:, 4],
+    "ezx": lambda t: np.asarray(t.e)[:, 5],
+}
+
+
+def save_map_3d(path: str, table: poi_mod.POITable3D, variable: str,
+                dims: Sequence[int], delimiter: str = ",") -> None:
+    """Volume value map (``saveMap3D``, oc_io.cpp:1091-1200): a z-slice per
+    blank-line-separated block, like the reference's float*** dump."""
+    dim_x, dim_y, dim_z = (int(d) for d in dims)
+    vals = _MAP_VARS_3D[variable](table)
+    out = np.zeros((dim_z, dim_y, dim_x), np.float32)
+    xs = np.asarray(table.x).astype(np.int32)
+    ys = np.asarray(table.y).astype(np.int32)
+    zs = np.asarray(table.z).astype(np.int32)
+    out[zs, ys, xs] = vals
+    with open(path, "w") as f:
+        for z in range(dim_z):
+            for row in out[z]:
+                f.write(_fmt_row(row, delimiter) + "\n")
+            f.write("\n")
+
+
 def save_matrix_bin_3d(path: str, table: poi_mod.POITable3D,
                        dims: Sequence[int]) -> None:
     """Compact DVC checkpoint (``saveMatrixBin``, oc_io.cpp:1202-1246):

@@ -56,8 +56,11 @@ class SIFT3D:
     descriptors and matching always run on device."""
 
     def __init__(self, kp_chunk_budget_bytes: int = 1 << 30,
-                 pyramid_backend: str = "host"):
+                 pyramid_backend: str = "host", match_mode: str = "mono"):
         self.pyramid_backend = pyramid_backend
+        # "mono": monodirectional with many-to-one elimination (reference
+        # default); "bi": strict bidirectional check (oc_sift.cpp:1420-1489)
+        self.match_mode = match_mode
         self.sift_config = Sift3dConfig()
         self.matching_ratio = 0.85  # oc_sift.cpp:153
         self.physical_unit = (1.0, 1.0, 1.0)
@@ -269,8 +272,12 @@ class SIFT3D:
         self.ref_kp_count = len(ref_kp)
         self.tar_kp_count = len(tar_kp)
 
-        mk1, mk2 = _monodirectional_match(
-            ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+        if self.match_mode == "bi":
+            mk1, mk2 = _bidirectional_match(
+                ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+        else:
+            mk1, mk2 = _monodirectional_match(
+                ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
         self.ref_matched_kp = mk1
         self.tar_matched_kp = mk2
 
@@ -421,3 +428,18 @@ def _monodirectional_match(kp1, desc1, kp2, desc2, ratio):
     ref_idx = ref_idx[keep_final]
     tar_idx = tar_idx[keep_final]
     return kp1[ref_idx, :3].copy(), kp2[tar_idx, :3].copy()
+
+
+def _bidirectional_match(kp1, desc1, kp2, desc2, ratio):
+    """bidirectionalMatch (oc_sift.cpp:1420-1489): keep only pairs that are
+    each other's mutual ratio-test best match."""
+    if len(kp1) == 0 or len(kp2) < 2 or len(kp1) < 2:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    ratio2 = ratio * ratio
+    d12, i12 = _top2_distances(desc1, desc2)
+    d21, i21 = _top2_distances(desc2, desc1)
+    r2t = np.where(d12[:, 0] < ratio2 * d12[:, 1], i12[:, 0], -1)
+    t2r = np.where(d21[:, 0] < ratio2 * d21[:, 1], i21[:, 0], -1)
+    keep = (r2t >= 0) & (t2r[np.clip(r2t, 0, None)] == np.arange(len(kp1)))
+    ref_idx = np.nonzero(keep)[0]
+    return kp1[ref_idx, :3].copy(), kp2[r2t[ref_idx], :3].copy()
