@@ -1,0 +1,70 @@
+"""Multi-device scaling-efficiency harness (BASELINE.md target: >=80%
+efficiency at N>=2).
+
+Measures the POI-sharded ICGN1 2D refine stage at 1, 2, ..., N devices on
+whatever mesh is available and reports POIs/s and efficiency vs linear
+scaling.  On the single-chip sandbox this exercises the virtual CPU mesh
+(set JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8),
+which validates the SPMD program; on a real slice the same script measures
+ICI-scaled throughput.  Multi-host: run under jax.distributed.initialize().
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+
+import opencorr_tpu as oc
+from opencorr_tpu.parallel import mesh as pm
+
+
+def _problem(n_poi=30000, h=900, w=280, seed=0):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    base = gaussian_filter(
+        rng.standard_normal((h + 8, w + 8)).astype(np.float32), 1.2) * 60 + 128
+    ref, tar = base[4 : 4 + h, 4 : 4 + w], base[0:h, 2 : 2 + w]
+    side_x = 100
+    side_y = n_poi // side_x
+    pois = oc.poi_grid_2d((30, 30), side_x, side_y, 2)
+    return ref, tar, pois
+
+
+def main():
+    devices = jax.devices()
+    ref, tar, pois = _problem()
+    icgn = oc.ICGN2D1(16, 16, 0.001, 10)
+    icgn.set_images(ref, tar)
+    icgn.prepare()
+    fftcc = oc.FFTCC2D(16, 16)
+    fftcc.set_images(ref, tar)
+    seeded = fftcc.compute(pois)
+
+    results = []
+    base_rate = None
+    n_list = [n for n in (1, 2, 4, 8) if n <= len(devices)]
+    for n in n_list:
+        mesh = pm.make_mesh(n)
+        padded, n_orig = pm.pad_to_multiple(seeded, n)
+        sharded = pm.shard_table(padded, mesh)
+        out = icgn.compute(sharded)  # warm-up/compile
+        jax.block_until_ready(out.p)
+        t0 = time.perf_counter()
+        out = icgn.compute(sharded)
+        jax.block_until_ready(out.p)
+        dt = time.perf_counter() - t0
+        rate = n_orig / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n)
+        results.append({"devices": n, "poi_per_s": round(rate, 1),
+                        "efficiency": round(eff, 3)})
+    print(json.dumps({"metric": "icgn1_2d_scaling", "platform":
+                      devices[0].platform, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

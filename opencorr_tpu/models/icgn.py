@@ -177,8 +177,10 @@ class ICGN3D1(base.Module3D):
         max_iter = jnp.float32(self.stop_condition)
         chunk = self.chunk_size
         if chunk is None:
+            # poi*voxel working-set budget: ~9M keeps the compile within HBM
+            # for any radius while amortizing dispatch overhead
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
-            chunk = max(8, 1_200_000 // s)
+            chunk = max(8, 9_000_000 // s)
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
             p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(

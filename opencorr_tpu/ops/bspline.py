@@ -176,15 +176,20 @@ def tricubic_eval(coeff: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     bx = _basis(xq - xi.astype(jnp.float32))  # [..., 4]
     by = _basis(yq - yi.astype(jnp.float32))
     bz = _basis(zq - zi.astype(jnp.float32))
-    # Gather the 4x4x4 neighborhood: offsets -1..2 on each axis.
+    # Gather the 4x4x4 neighborhood as one flat 64-wide axis via linear
+    # indices: a trailing [.., 4, 4, 4] gather gets padded 32x by TPU tiling
+    # (last dim 4 vs the 128-lane requirement); a trailing 64 pads only 2x.
     off = jnp.arange(-1, 3)
     zidx = zi[..., None] + off  # [..., 4]
     yidx = yi[..., None] + off
     xidx = xi[..., None] + off
-    nb = coeff[
-        zidx[..., :, None, None],
-        yidx[..., None, :, None],
-        xidx[..., None, None, :],
-    ]  # [..., 4, 4, 4]
-    val = jnp.einsum("...ijk,...i,...j,...k->...", nb, bz, by, bx)
+    lin = (
+        (zidx[..., :, None, None] * dy + yidx[..., None, :, None]) * dx
+        + xidx[..., None, None, :]
+    ).reshape(*xs.shape, 64)
+    nb = coeff.reshape(-1)[lin]  # [..., 64]
+    w = (
+        bz[..., :, None, None] * by[..., None, :, None] * bx[..., None, None, :]
+    ).reshape(*xs.shape, 64)
+    val = jnp.sum(nb * w, axis=-1)
     return jnp.where(oob, jnp.float32(-1.0), val), oob
