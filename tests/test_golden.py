@@ -65,3 +65,53 @@ def test_load_golden_table_roundtrip(tmp_path):
     t2 = io_table.load_table_2d(str(out))
     assert np.allclose(np.asarray(t.p), np.asarray(t2.p), atol=1e-6)
     assert np.allclose(np.asarray(t.r), np.asarray(t2.r), atol=1e-6)
+
+
+def test_fftcc_nr1_vs_golden_subsample():
+    """test_2d_dic_fftcc_nr1 vs its committed golden (1/20 subsample)."""
+    ref = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_0.bmp")
+    tar = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_4.bmp")
+    gold = np.genfromtxt(f"{GOLD_2D}/oht_cfrp_4_fftcc_nr1_r16.csv",
+                         delimiter=",", skip_header=1)
+    g = gold[::20]
+    pois = oc.new_table_2d(g[:, 0], g[:, 1])
+    f = oc.FFTCC2D(16, 16)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    nr = oc.NR2D1(16, 16, 0.001, 10)
+    nr.set_images(ref, tar)
+    nr.prepare()
+    out = nr.compute(pois)
+    z = np.asarray(out.zncc)
+    ok = (z > 0) & (g[:, 6] > 0)
+    assert ok.mean() > 0.9
+    assert np.abs(np.asarray(out.u) - g[:, 2])[ok].mean() < 0.01
+    assert np.abs(np.asarray(out.v) - g[:, 3])[ok].mean() < 0.01
+
+
+def test_sift_icgn2_vs_gpu_golden_subsample():
+    """SIFT + FeatureAffine + ICGN2 vs the committed GPU-run golden table
+    (the reference's CPU-vs-GPU cross-validation twin, SURVEY.md §4.3)."""
+    ref = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_0.bmp")
+    tar = oc.Image2D.load(f"{GOLD_2D}/oht_cfrp_4.bmp")
+    gold = np.genfromtxt(f"{GOLD_2D}/oht_cfrp_4_sift_icgn2(gpu)_r16.csv",
+                         delimiter=",", skip_header=1)
+    g = gold[::20]
+    sift = oc.SIFT2D()
+    sift.set_images(ref, tar)
+    sift.prepare()
+    sift.compute()
+    fa = oc.FeatureAffine2D(16, 16)
+    fa.set_keypoint_pair(sift.ref_matched_kp, sift.tar_matched_kp)
+    pois = fa.compute(oc.new_table_2d(g[:, 0], g[:, 1]))
+    ic2 = oc.ICGN2D2(16, 16, 0.001, 10)
+    ic2.set_images(ref, tar)
+    ic2.prepare()
+    out = ic2.compute(pois)
+    z = np.asarray(out.zncc)
+    ok = (z > 0.9) & (g[:, 6] > 0.9)
+    assert ok.mean() > 0.8
+    # a handful of weak-texture POIs near the specimen hole land in different
+    # local optima than the golden run; gate on the robust center instead
+    assert np.median(np.abs(np.asarray(out.u) - g[:, 2])[ok]) < 0.01
+    assert np.median(np.abs(np.asarray(out.v) - g[:, 3])[ok]) < 0.01
