@@ -17,7 +17,6 @@ per-POI (lambda, znssd0) state, batched damped inverses.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ are invariant to these shifts).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ warp in the reference.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
