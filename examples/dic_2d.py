@@ -120,9 +120,11 @@ def run(workload: str, ref_path=None, tar_path=None, out_prefix="/tmp/dic2d"):
             sift.prepare()
             sift.compute()
         fa = oc.FeatureAffine2D(rx, ry)
-        fa.set_search(float(np.sqrt(2.0 * rx * rx)), 28)
+        # reference example: neighbor_num = 2 * getNeighborMin() = 14
+        neighbor_num = 2 * fa.neighbor_number_min
+        fa.set_search(float(np.sqrt(2.0 * rx * rx)), neighbor_num)
         fa.set_self_adaptive(True)
-        fa.set_subset_adjustment(28, 10)
+        fa.set_subset_adjustment(neighbor_num, 10)
         fa.set_keypoint_pair(sift.ref_matched_kp, sift.tar_matched_kp)
         with timer.stage("Subset optimization"):
             pois = fa.compute(pois)

@@ -16,6 +16,7 @@ IC-GN kernel in one shot, then a per-POI argmax over ZNCC picks the winner.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -114,9 +115,6 @@ class EpipolarSearch(base.Module2D):
         chunk = None if self.chunk_size is None else max(
             256, self.chunk_size // n_cand)
         return base.chunked(run, table, chunk)
-
-
-import functools
 
 
 @functools.partial(

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
+
 from ..data import poi as poi_mod
 from ..ops import fftcc as fftcc_ops
 from . import base
@@ -34,11 +36,11 @@ class FFTCC2D(base.Module2D):
             # u0/v0/zncc updated only for processed POIs (oc_fftcc.cpp:268-274).
             r = t.r
             r = r.at[:, poi_mod.R_U0].set(
-                _where(valid, t.p[:, poi_mod.U], r[:, poi_mod.R_U0]))
+                jnp.where(valid, t.p[:, poi_mod.U], r[:, poi_mod.R_U0]))
             r = r.at[:, poi_mod.R_V0].set(
-                _where(valid, t.p[:, poi_mod.V], r[:, poi_mod.R_V0]))
+                jnp.where(valid, t.p[:, poi_mod.V], r[:, poi_mod.R_V0]))
             r = r.at[:, poi_mod.R_ZNCC].set(
-                _where(valid, zncc, r[:, poi_mod.R_ZNCC]))
+                jnp.where(valid, zncc, r[:, poi_mod.R_ZNCC]))
             return t.replace(p=p, r=r)
 
         return base.chunked(run, table, self.chunk_size)
@@ -67,19 +69,15 @@ class FFTCC3D(base.Module3D):
                  .at[:, poi_mod.W3].set(w))
             r = t.r
             r = r.at[:, poi_mod.R3_U0].set(
-                _where(valid, t.p[:, poi_mod.U3], r[:, poi_mod.R3_U0]))
+                jnp.where(valid, t.p[:, poi_mod.U3], r[:, poi_mod.R3_U0]))
             r = r.at[:, poi_mod.R3_V0].set(
-                _where(valid, t.p[:, poi_mod.V3], r[:, poi_mod.R3_V0]))
+                jnp.where(valid, t.p[:, poi_mod.V3], r[:, poi_mod.R3_V0]))
             r = r.at[:, poi_mod.R3_W0].set(
-                _where(valid, t.p[:, poi_mod.W3], r[:, poi_mod.R3_W0]))
+                jnp.where(valid, t.p[:, poi_mod.W3], r[:, poi_mod.R3_W0]))
             r = r.at[:, poi_mod.R3_ZNCC].set(
-                _where(valid, zncc, r[:, poi_mod.R3_ZNCC]))
+                jnp.where(valid, zncc, r[:, poi_mod.R3_ZNCC]))
             return t.replace(p=p, r=r)
 
         return base.chunked(run, table, self.chunk_size)
 
 
-def _where(mask, a, b):
-    import jax.numpy as jnp
-
-    return jnp.where(mask, a, b)

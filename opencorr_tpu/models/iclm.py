@@ -48,6 +48,8 @@ class _ICLM2DBase(base.Module2D):
     def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         if self._lut is None:
             raise RuntimeError("call prepare() before compute()")
+        if self.self_adaptive:
+            return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         conv = jnp.float32(self.conv_criterion)
         max_iter = jnp.float32(self.stop_condition)
@@ -77,6 +79,44 @@ class _ICLM2DBase(base.Module2D):
             return t.replace(p=p_out, r=r, sr=sr)
 
         return base.chunked(run, table, self.chunk_size)
+
+
+    def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        """Self-adaptive mode: per-POI radii from ``table.sr``
+        (oc_iclm.cpp:158-164)."""
+        import numpy as np
+
+        sr = np.asarray(table.sr)
+        r_max = int(max(np.max(sr), 1))
+        conv = jnp.float32(self.conv_criterion)
+        max_iter = jnp.float32(self.stop_condition)
+        damping = jnp.array(
+            [self.damping_lambda, self.damping_alpha, self.damping_beta],
+            jnp.float32)
+
+        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+            p_out, u0, v0, zncc, it, dpn, computed = iclm_ops.iclm2d_adaptive(
+                self._gx, self._gy, self.ref_img, self._lut,
+                t.x, t.y, t.sr[:, 0], t.sr[:, 1],
+                t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter, damping,
+                order=self.order, r_max=r_max,
+            )
+            r = t.r
+            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+            r = r.at[:, poi_mod.R_U0].set(
+                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+            r = r.at[:, poi_mod.R_V0].set(
+                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+            r = r.at[:, poi_mod.R_ITER].set(
+                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+            r = r.at[:, poi_mod.R_CONV].set(
+                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+            return t.replace(p=p_out, r=r)
+
+        chunk = self.chunk_size
+        if chunk is not None:
+            chunk = max(1024, chunk // max(1, (2 * r_max + 1) ** 2 // 1089))
+        return base.chunked(run, table, chunk)
 
 
 class ICLM2D1(_ICLM2DBase):

@@ -172,7 +172,6 @@ class SIFT3D:
         dogs = self._dog_pyramid(gp)
         lpo_g = cfg.n_octave_layers + 3
         lpo_d = cfg.n_octave_layers + 2
-        kappa = 2.0 ** (1.0 / cfg.n_octave_layers)
 
         kps = []  # (x, y, z, octave, layer)
         for m in range(cfg.n_octave):

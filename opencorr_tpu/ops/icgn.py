@@ -76,7 +76,6 @@ def icgn2d(
     n = xs.shape[0]
     sh, sw = 2 * ry + 1, 2 * rx + 1
     s = sh * sw
-    k = 6 if order == 1 else 12
     f32 = jnp.float32
 
     if center_offset is None:

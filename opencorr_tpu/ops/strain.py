@@ -70,19 +70,24 @@ def strain2d(
     d2 = (qx_[:, None] - px[None, :]) ** 2 + (qy_[:, None] - py[None, :]) ** 2
     in_radius = d2 < radius * radius  # strict, nanoflann semantics
     nr = jnp.sum(in_radius, axis=1)
+    use_radius = nr >= neighbor_min
 
     # KNN fallback mask: the neighbor_min-th smallest distance bounds the set
-    # (oc_strain.cpp:173-188).  k is a traced value; take a generous static top
-    # bound and mask.
-    kmax = 16
-    neg_top, _ = jax.lax.top_k(-d2, kmax)  # [C, kmax] ascending distances
-    ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
-    kth = -neg_top[jnp.arange(qx.shape[0]), ks]
-    knn_mask = d2 <= kth[:, None]
+    # (oc_strain.cpp:173-188).  The top_k over the full cloud is the dominant
+    # cost and is only needed for sparse-neighborhood POIs, so it runs under a
+    # lax.cond taken only when some POI in the chunk actually falls back.
+    def with_knn(_):
+        kmax = 16
+        neg_top, _i = jax.lax.top_k(-d2, kmax)  # [C, kmax] ascending
+        ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
+        kth = -neg_top[jnp.arange(qx.shape[0]), ks]
+        knn_mask = d2 <= kth[:, None]
+        return jnp.where(use_radius[:, None], in_radius, knn_mask)
 
+    sel = jax.lax.cond(jnp.all(use_radius), lambda _: in_radius, with_knn,
+                       operand=None)
     good = zncc >= zncc_threshold  # [N]
-    use_radius = nr >= neighbor_min
-    w = jnp.where(use_radius[:, None], in_radius, knn_mask) & good[None, :]
+    w = sel & good[None, :]
     wf = w.astype(f32)  # [C, N]
 
     feats = jnp.stack(
@@ -170,16 +175,20 @@ def strain2ds(
     d2 = (qx2[:, None] - sx2[None, :]) ** 2 + (qy2[:, None] - sy2[None, :]) ** 2
     in_radius = d2 < radius * radius
     nr = jnp.sum(in_radius, axis=1)
-
-    kmax = 32
-    neg_top, _ = jax.lax.top_k(-d2, kmax)
-    ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
-    kth = -neg_top[jnp.arange(qx.shape[0]), ks]
-    knn_mask = d2 <= kth[:, None]
-
-    good = zncc >= zncc_threshold
     use_radius = nr >= neighbor_min
-    w = jnp.where(use_radius[:, None], in_radius, knn_mask) & good[None, :]
+
+    def with_knn(_):
+        kmax = 32
+        neg_top, _i = jax.lax.top_k(-d2, kmax)
+        ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
+        kth = -neg_top[jnp.arange(qx.shape[0]), ks]
+        knn_mask = d2 <= kth[:, None]
+        return jnp.where(use_radius[:, None], in_radius, knn_mask)
+
+    sel = jax.lax.cond(jnp.all(use_radius), lambda _: in_radius, with_knn,
+                       operand=None)
+    good = zncc >= zncc_threshold
+    w = sel & good[None, :]
     wf = w.astype(f32)
 
     one = jnp.ones_like(px)
@@ -283,16 +292,20 @@ def strain3d(
     )
     in_radius = d2 < radius * radius
     nr = jnp.sum(in_radius, axis=1)
-
-    kmax = 32
-    neg_top, _ = jax.lax.top_k(-d2, kmax)
-    ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
-    kth = -neg_top[jnp.arange(qx.shape[0]), ks]
-    knn_mask = d2 <= kth[:, None]
-
-    good = zncc >= zncc_threshold
     use_radius = nr >= neighbor_min
-    w = jnp.where(use_radius[:, None], in_radius, knn_mask) & good[None, :]
+
+    def with_knn(_):
+        kmax = 32
+        neg_top, _i = jax.lax.top_k(-d2, kmax)
+        ks = jnp.clip(neighbor_min.astype(jnp.int32) - 1, 0, kmax - 1)
+        kth = -neg_top[jnp.arange(qx.shape[0]), ks]
+        knn_mask = d2 <= kth[:, None]
+        return jnp.where(use_radius[:, None], in_radius, knn_mask)
+
+    sel = jax.lax.cond(jnp.all(use_radius), lambda _: in_radius, with_knn,
+                       operand=None)
+    good = zncc >= zncc_threshold
+    w = sel & good[None, :]
     wf = w.astype(f32)
 
     one = jnp.ones_like(px)

@@ -78,3 +78,27 @@ def test_iclm_agrees_with_icgn(speckle_pair_2d):
     both = (za > 0) & (zb > 0)
     assert both.mean() > 0.8
     assert np.abs(np.asarray(oa.u) - np.asarray(ob.u))[both].mean() < 1e-3
+
+
+def test_iclm_self_adaptive_matches_fixed(speckle_pair_2d):
+    import jax.numpy as jnp
+
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((35, 35), 5, 4, 15)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+
+    fixed = oc.ICLM2D1(10, 10, 0.001, 10)
+    fixed.set_images(ref, tar)
+    fixed.prepare()
+    base = fixed.compute(pois)
+
+    adap = oc.ICLM2D1(10, 10, 0.001, 10)
+    adap.set_images(ref, tar)
+    adap.prepare()
+    adap.set_self_adaptive(True)
+    out = adap.compute(pois.replace(sr=jnp.full((pois.n, 2), 10.0, jnp.float32)))
+
+    assert np.allclose(np.asarray(base.p), np.asarray(out.p), atol=1e-4)
+    assert np.allclose(np.asarray(base.zncc), np.asarray(out.zncc), atol=1e-4)
