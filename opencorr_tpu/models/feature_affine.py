@@ -13,6 +13,43 @@ from ..data import poi as poi_mod
 from ..ops import feature_affine as fa_ops
 from . import base
 
+import functools
+
+import jax
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_cap", "trials", "samples", "knn_only"))
+def _fa2d_full(ref_kp, tar_kp, t, radius, nmin, thr, seed, knn_k,
+               *, k_cap, trials, samples, knn_only=False):
+    p6, zncc, it, feat, ok = fa_ops.feature_affine_2d(
+        ref_kp, tar_kp, t.x, t.y, t.r[:, poi_mod.R_ZNCC],
+        radius, nmin, thr, seed, knn_k,
+        k_cap=k_cap, trials=trials, samples=samples, knn_only=knn_only)
+    p = t.p
+    for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
+        p = p.at[:, dst].set(jnp.where(ok, p6[:, src], p[:, dst]))
+    r = t.r
+    r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R_ITER].set(jnp.where(ok, it, r[:, poi_mod.R_ITER]))
+    r = r.at[:, poi_mod.R_FEAT].set(jnp.where(ok, feat, r[:, poi_mod.R_FEAT]))
+    return t.replace(p=p, r=r)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap", "trials", "samples"))
+def _fa3d_full(ref_kp, tar_kp, t, radius, nmin, thr, seed,
+               *, k_cap, trials, samples):
+    p12, zncc, it, feat, ok = fa_ops.feature_affine_3d(
+        ref_kp, tar_kp, t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC],
+        radius, nmin, thr, seed,
+        k_cap=k_cap, trials=trials, samples=samples)
+    p = jnp.where(ok[:, None], p12, t.p)
+    r = t.r
+    r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R3_ITER].set(jnp.where(ok, it, r[:, poi_mod.R3_ITER]))
+    r = r.at[:, poi_mod.R3_FEAT].set(jnp.where(ok, feat, r[:, poi_mod.R3_FEAT]))
+    return t.replace(p=p, r=r)
+
 
 @dataclasses.dataclass
 class RansacConfig:
@@ -73,22 +110,10 @@ class FeatureAffine2D(base.Module2D):
         seed = jnp.int32(self.seed)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p6, zncc, it, feat, ok = fa_ops.feature_affine_2d(
-                ref_kp, tar_kp, t.x, t.y, t.r[:, poi_mod.R_ZNCC],
-                radius, nmin, thr, seed, jnp.float32(0.0),
+            return _fa2d_full(
+                ref_kp, tar_kp, t, radius, nmin, thr, seed, jnp.float32(0.0),
                 k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number,
-            )
-            p = t.p
-            for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
-                p = p.at[:, dst].set(jnp.where(ok, p6[:, src], p[:, dst]))
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(ok, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_FEAT].set(
-                jnp.where(ok, feat, r[:, poi_mod.R_FEAT]))
-            return t.replace(p=p, r=r)
+                samples=self.ransac.sample_number)
 
         return base.chunked(run, table, self.chunk_size)
 
@@ -144,22 +169,10 @@ class FeatureAffine2D(base.Module2D):
         knn_k = jnp.float32(k)
 
         def run(tc: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p6, zncc, it, feat, ok = fa_ops.feature_affine_2d(
-                ref_kp, tar_kp, tc.x, tc.y, tc.r[:, poi_mod.R_ZNCC],
-                jnp.float32(0.0), nmin, thr, seed, knn_k,
+            return _fa2d_full(
+                ref_kp, tar_kp, tc, jnp.float32(0.0), nmin, thr, seed, knn_k,
                 k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number, knn_only=True,
-            )
-            p = tc.p
-            for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
-                p = p.at[:, dst].set(jnp.where(ok, p6[:, src], p[:, dst]))
-            r = tc.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(ok, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_FEAT].set(
-                jnp.where(ok, feat, r[:, poi_mod.R_FEAT]))
-            return tc.replace(p=p, r=r)
+                samples=self.ransac.sample_number, knn_only=True)
 
         return base.chunked(run, t, self.chunk_size)
 
@@ -206,19 +219,9 @@ class FeatureAffine3D:
         seed = jnp.int32(self.seed)
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
-            p12, zncc, it, feat, ok = fa_ops.feature_affine_3d(
-                ref_kp, tar_kp, t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC],
-                radius, nmin, thr, seed,
+            return _fa3d_full(
+                ref_kp, tar_kp, t, radius, nmin, thr, seed,
                 k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number,
-            )
-            p = jnp.where(ok[:, None], p12, t.p)
-            r = t.r
-            r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R3_ITER].set(
-                jnp.where(ok, it, r[:, poi_mod.R3_ITER]))
-            r = r.at[:, poi_mod.R3_FEAT].set(
-                jnp.where(ok, feat, r[:, poi_mod.R3_FEAT]))
-            return t.replace(p=p, r=r)
+                samples=self.ransac.sample_number)
 
         return base.chunked(run, table, self.chunk_size)

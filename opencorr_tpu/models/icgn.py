@@ -3,13 +3,78 @@ oc_icgn.h:45-188)."""
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..data import poi as poi_mod
 from ..ops import bspline, gradient, icgn as icgn_ops
 from . import base
+
+
+@functools.partial(jax.jit, static_argnames=("order", "r_max"))
+def _icgn2d_adaptive_full(gx, gy, ref_img, tar_lut, t, conv, max_iter,
+                          *, order, r_max):
+    p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d_adaptive(
+        gx, gy, ref_img, tar_lut, t.x, t.y, t.sr[:, 0], t.sr[:, 1], t.p,
+        t.r[:, poi_mod.R_ZNCC], conv, max_iter, order=order, r_max=r_max)
+    r = t.r
+    r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R_U0].set(jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+    r = r.at[:, poi_mod.R_V0].set(jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+    r = r.at[:, poi_mod.R_ITER].set(
+        jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+    r = r.at[:, poi_mod.R_CONV].set(
+        jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+    return t.replace(p=p_out, r=r)
+
+
+@functools.partial(jax.jit, static_argnames=("rx", "ry", "rz"))
+def _icgn3d1_full(gx, gy, gz, ref_vol, coeff, t, conv, max_iter,
+                  *, rx, ry, rz):
+    p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
+        gx, gy, gz, ref_vol, coeff, t.x, t.y, t.z, t.p,
+        t.r[:, poi_mod.R3_ZNCC], conv, max_iter, rx=rx, ry=ry, rz=rz)
+    r = t.r
+    r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R3_U0].set(
+        jnp.where(computed, u0, r[:, poi_mod.R3_U0]))
+    r = r.at[:, poi_mod.R3_V0].set(
+        jnp.where(computed, v0, r[:, poi_mod.R3_V0]))
+    r = r.at[:, poi_mod.R3_W0].set(
+        jnp.where(computed, w0, r[:, poi_mod.R3_W0]))
+    r = r.at[:, poi_mod.R3_ITER].set(
+        jnp.where(computed, it, r[:, poi_mod.R3_ITER]))
+    r = r.at[:, poi_mod.R3_CONV].set(
+        jnp.where(computed, dpn, r[:, poi_mod.R3_CONV]))
+    sr = t.sr
+    sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+    sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+    sr = sr.at[:, 2].set(jnp.where(computed, float(rz), sr[:, 2]))
+    return t.replace(p=p_out, r=r, sr=sr)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "rx", "ry"))
+def _icgn2d_full(gx, gy, ref_img, tar_lut, x, y, p, r, sr, conv, max_iter,
+                 offs, *, order, rx, ry):
+    """Kernel + result-table merge in one program (a dozen separate eager
+    updates would each pay a dispatch round-trip)."""
+    p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d(
+        gx, gy, ref_img, tar_lut, x, y, p, r[:, poi_mod.R_ZNCC], conv,
+        max_iter, offs, order=order, rx=rx, ry=ry,
+    )
+    r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R_U0].set(jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+    r = r.at[:, poi_mod.R_V0].set(jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+    r = r.at[:, poi_mod.R_ITER].set(
+        jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+    r = r.at[:, poi_mod.R_CONV].set(
+        jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+    sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+    sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+    return p_out, r, sr
 
 
 class _ICGN2DBase(base.Module2D):
@@ -57,24 +122,11 @@ class _ICGN2DBase(base.Module2D):
         offs = center_offset
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d(
+            p_out, r, sr = _icgn2d_full(
                 self._gx, self._gy, self.ref_img, self._lut,
-                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
-                offs, order=self.order, rx=rx, ry=ry,
+                t.x, t.y, t.p, t.r, t.sr, conv, max_iter, offs,
+                order=self.order, rx=rx, ry=ry,
             )
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
-            r = r.at[:, poi_mod.R_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
-            sr = t.sr
-            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
-            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
             return t.replace(p=p_out, r=r, sr=sr)
 
         if offs is not None and self.chunk_size is not None \
@@ -95,23 +147,9 @@ class _ICGN2DBase(base.Module2D):
         max_iter = jnp.float32(self.stop_condition)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d_adaptive(
-                self._gx, self._gy, self.ref_img, self._lut,
-                t.x, t.y, t.sr[:, 0], t.sr[:, 1],
-                t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
-                order=self.order, r_max=r_max,
-            )
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
-            r = r.at[:, poi_mod.R_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
-            return t.replace(p=p_out, r=r)
+            return _icgn2d_adaptive_full(
+                self._gx, self._gy, self.ref_img, self._lut, t, conv,
+                max_iter, order=self.order, r_max=r_max)
 
         chunk = self.chunk_size
         if chunk is not None:
@@ -183,27 +221,8 @@ class ICGN3D1(base.Module3D):
             chunk = max(8, 9_000_000 // s)
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
-            p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
-                self._gx, self._gy, self._gz, self.ref_vol, self._coeff,
-                t.x, t.y, t.z, t.p, t.r[:, poi_mod.R3_ZNCC], conv, max_iter,
-                rx=rx, ry=ry, rz=rz,
-            )
-            r = t.r
-            r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R3_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R3_U0]))
-            r = r.at[:, poi_mod.R3_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R3_V0]))
-            r = r.at[:, poi_mod.R3_W0].set(
-                jnp.where(computed, w0, r[:, poi_mod.R3_W0]))
-            r = r.at[:, poi_mod.R3_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R3_ITER]))
-            r = r.at[:, poi_mod.R3_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R3_CONV]))
-            sr = t.sr
-            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
-            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
-            sr = sr.at[:, 2].set(jnp.where(computed, float(rz), sr[:, 2]))
-            return t.replace(p=p_out, r=r, sr=sr)
+            return _icgn3d1_full(self._gx, self._gy, self._gz, self.ref_vol,
+                                 self._coeff, t, conv, max_iter,
+                                 rx=rx, ry=ry, rz=rz)
 
         return base.chunked(run, table, chunk)

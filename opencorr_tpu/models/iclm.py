@@ -3,13 +3,51 @@ oc_iclm.h:54-146)."""
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..data import poi as poi_mod
 from ..ops import bspline, gradient, iclm as iclm_ops
 from . import base
+
+
+def _merge_result(t, p_out, u0, v0, zncc, it, dpn, computed, rx, ry,
+                  update_sr=True):
+    r = t.r
+    r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R_U0].set(jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+    r = r.at[:, poi_mod.R_V0].set(jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+    r = r.at[:, poi_mod.R_ITER].set(
+        jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+    r = r.at[:, poi_mod.R_CONV].set(
+        jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+    sr = t.sr
+    if update_sr:
+        sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
+        sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
+    return t.replace(p=p_out, r=r, sr=sr)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "rx", "ry"))
+def _iclm2d_full(gx, gy, ref_img, tar_lut, t, conv, max_iter, damping,
+                 *, order, rx, ry):
+    outs = iclm_ops.iclm2d(
+        gx, gy, ref_img, tar_lut, t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC],
+        conv, max_iter, damping, order=order, rx=rx, ry=ry)
+    return _merge_result(t, *outs, rx, ry)
+
+
+@functools.partial(jax.jit, static_argnames=("order", "r_max"))
+def _iclm2d_adaptive_full(gx, gy, ref_img, tar_lut, t, conv, max_iter,
+                          damping, *, order, r_max):
+    outs = iclm_ops.iclm2d_adaptive(
+        gx, gy, ref_img, tar_lut, t.x, t.y, t.sr[:, 0], t.sr[:, 1], t.p,
+        t.r[:, poi_mod.R_ZNCC], conv, max_iter, damping,
+        order=order, r_max=r_max)
+    return _merge_result(t, *outs, 0, 0, update_sr=False)
 
 
 class _ICLM2DBase(base.Module2D):
@@ -58,25 +96,9 @@ class _ICLM2DBase(base.Module2D):
             jnp.float32)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p_out, u0, v0, zncc, it, dpn, computed = iclm_ops.iclm2d(
-                self._gx, self._gy, self.ref_img, self._lut,
-                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
-                damping, order=self.order, rx=rx, ry=ry,
-            )
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
-            r = r.at[:, poi_mod.R_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
-            sr = t.sr
-            sr = sr.at[:, 0].set(jnp.where(computed, float(rx), sr[:, 0]))
-            sr = sr.at[:, 1].set(jnp.where(computed, float(ry), sr[:, 1]))
-            return t.replace(p=p_out, r=r, sr=sr)
+            return _iclm2d_full(self._gx, self._gy, self.ref_img, self._lut,
+                                t, conv, max_iter, damping,
+                                order=self.order, rx=rx, ry=ry)
 
         return base.chunked(run, table, self.chunk_size)
 
@@ -95,23 +117,9 @@ class _ICLM2DBase(base.Module2D):
             jnp.float32)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p_out, u0, v0, zncc, it, dpn, computed = iclm_ops.iclm2d_adaptive(
-                self._gx, self._gy, self.ref_img, self._lut,
-                t.x, t.y, t.sr[:, 0], t.sr[:, 1],
-                t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter, damping,
-                order=self.order, r_max=r_max,
-            )
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
-            r = r.at[:, poi_mod.R_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
-            return t.replace(p=p_out, r=r)
+            return _iclm2d_adaptive_full(
+                self._gx, self._gy, self.ref_img, self._lut, t, conv,
+                max_iter, damping, order=self.order, r_max=r_max)
 
         chunk = self.chunk_size
         if chunk is not None:

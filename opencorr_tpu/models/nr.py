@@ -2,13 +2,31 @@
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..data import poi as poi_mod
 from ..ops import bspline, gradient, nr as nr_ops
 from . import base
+
+
+@functools.partial(jax.jit, static_argnames=("rx", "ry"))
+def _nr2d1_full(ref_img, lut, lut_gx, lut_gy, t, conv, max_iter, *, rx, ry):
+    p_out, u0, v0, zncc, it, dpn, computed = nr_ops.nr2d1(
+        ref_img, lut, lut_gx, lut_gy, t.x, t.y, t.p,
+        t.r[:, poi_mod.R_ZNCC], conv, max_iter, rx=rx, ry=ry)
+    r = t.r
+    r = r.at[:, poi_mod.R_ZNCC].set(zncc)
+    r = r.at[:, poi_mod.R_U0].set(jnp.where(computed, u0, r[:, poi_mod.R_U0]))
+    r = r.at[:, poi_mod.R_V0].set(jnp.where(computed, v0, r[:, poi_mod.R_V0]))
+    r = r.at[:, poi_mod.R_ITER].set(
+        jnp.where(computed, it, r[:, poi_mod.R_ITER]))
+    r = r.at[:, poi_mod.R_CONV].set(
+        jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
+    return t.replace(p=p_out, r=r)
 
 
 class NR2D1(base.Module2D):
@@ -47,21 +65,7 @@ class NR2D1(base.Module2D):
         max_iter = jnp.float32(self.stop_condition)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            p_out, u0, v0, zncc, it, dpn, computed = nr_ops.nr2d1(
-                self.ref_img, self._lut, self._lut_gx, self._lut_gy,
-                t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC], conv, max_iter,
-                rx=rx, ry=ry,
-            )
-            r = t.r
-            r = r.at[:, poi_mod.R_ZNCC].set(zncc)
-            r = r.at[:, poi_mod.R_U0].set(
-                jnp.where(computed, u0, r[:, poi_mod.R_U0]))
-            r = r.at[:, poi_mod.R_V0].set(
-                jnp.where(computed, v0, r[:, poi_mod.R_V0]))
-            r = r.at[:, poi_mod.R_ITER].set(
-                jnp.where(computed, it, r[:, poi_mod.R_ITER]))
-            r = r.at[:, poi_mod.R_CONV].set(
-                jnp.where(computed, dpn, r[:, poi_mod.R_CONV]))
-            return t.replace(p=p_out, r=r)
+            return _nr2d1_full(self.ref_img, self._lut, self._lut_gx,
+                               self._lut_gy, t, conv, max_iter, rx=rx, ry=ry)
 
         return base.chunked(run, table, self.chunk_size)
