@@ -45,9 +45,10 @@ int oc_write_table(const char* path, const char* header, const float* data,
     return -2;
   }
 
-  // Chunked buffer: worst case ~32 bytes per cell.
+  // Chunked buffer: 72 bytes per cell covers to_chars fixed/8-decimals even
+  // for near-FLT_MAX magnitudes (~48 chars) with margin, plus delimiter.
   const size_t kChunkRows = 4096;
-  std::vector<char> buf(kChunkRows * (static_cast<size_t>(n_cols) * 34 + 2));
+  std::vector<char> buf(kChunkRows * (static_cast<size_t>(n_cols) * 72 + 2));
   for (int64_t r0 = 0; r0 < n_rows; r0 += kChunkRows) {
     int64_t r1 = std::min<int64_t>(r0 + kChunkRows, n_rows);
     char* p = buf.data();

@@ -483,9 +483,16 @@ def icgn3d1(
     rx: int,
     ry: int,
     rz: int,
+    z_guard_lo=None,
+    z_guard_hi=None,
 ):
     """3D IC-GN (oc_icgn.cpp:1270-1490). Returns
-    (p_out, u0, v0, w0, zncc, iteration, convergence, computed)."""
+    (p_out, u0, v0, w0, zncc, iteration, convergence, computed).
+
+    ``z_guard_lo``/``z_guard_hi`` optionally tighten the interpolation range
+    guard along z (used by the sharded DVC path to impose the *global* volume
+    boundary on a halo-extended block): a warped voxel with z < lo or
+    z >= hi fails the subset with -3 like any out-of-range warp."""
     dz, dy, dx = ref_vol.shape
     n = xs.shape[0]
     sx, sy, sz = 2 * rx + 1, 2 * ry + 1, 2 * rz + 1
@@ -559,7 +566,11 @@ def icgn3d1(
         gyc = ys[:, None] + wy
         gzc = zs[:, None] + wz
         tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)
-        fail_now = jnp.any(tval < 0.0, axis=1) & active
+        fail_any = jnp.any(tval < 0.0, axis=1)
+        if z_guard_lo is not None:
+            fail_any = fail_any | jnp.any(
+                (gzc < z_guard_lo) | (gzc >= z_guard_hi), axis=1)
+        fail_now = fail_any & active
 
         tar_mean = jnp.mean(tval, axis=1, keepdims=True)
         tar_zm = tval - tar_mean

@@ -31,16 +31,23 @@ from ..ops import bspline, gradient, icgn as icgn_ops
 
 def halo_exchange_z(block: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     """Extend a local z-block with neighbor slabs: [Bz, Y, X] ->
-    [halo + Bz + halo, Y, X].  Edge devices receive a neighbor's wrapped slab
-    (ring ppermute) but their POIs never reference it: the global volume
-    boundary guard already excludes subsets crossing the volume edge."""
+    [halo + Bz + halo, Y, X].  Edge devices replace the wrapped ring slab with
+    an edge-clamped replication of their boundary plane, so the 15-tap clamped
+    tricubic prefilter (oc_cubic_bspline.cpp:223-351, ``getHigh(k-t, 0)`` /
+    ``getLow(k+t, dim-1)``) computed on the extended block matches the global
+    clamped computation exactly at the volume boundary."""
     n = jax.lax.axis_size(axis_name)
+    dev = jax.lax.axis_index(axis_name)
     top = block[:halo]  # slab to send to the previous device's bottom
     bot = block[-halo:]
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
     from_prev = jax.lax.ppermute(bot, axis_name, fwd)  # prev device's bottom
     from_next = jax.lax.ppermute(top, axis_name, bwd)  # next device's top
+    clamp_lo = jnp.broadcast_to(block[:1], from_prev.shape)
+    clamp_hi = jnp.broadcast_to(block[-1:], from_next.shape)
+    from_prev = jnp.where(dev == 0, clamp_lo, from_prev)
+    from_next = jnp.where(dev == n - 1, clamp_hi, from_next)
     return jnp.concatenate([from_prev, block, from_next], axis=0)
 
 
@@ -82,6 +89,7 @@ def _sharded_icgn3d(
         xs_b, ys_b, zs_b = xs_b[0], ys_b[0], zs_b[0]
         p_b, z_b, ok_b = p_b[0], z_b[0], ok_b[0]
         dev = jax.lax.axis_index(mesh_axis)
+        n_dev = jax.lax.axis_size(mesh_axis)
         bz = ref_blk.shape[0]
         ref_ext = halo_exchange_z(ref_blk, halo, mesh_axis)
         tar_ext = halo_exchange_z(tar_blk, halo, mesh_axis)
@@ -89,13 +97,28 @@ def _sharded_icgn3d(
         gx = gradient.gradient_x_3d(ref_ext)
         gy = gradient.gradient_y_3d(ref_ext)
         gz = gradient.gradient_z_3d(ref_ext)
+        # The global gradient_z leaves 2-px zero borders at the volume z edges
+        # (oc_gradient.cpp:143); re-impose them on the edge blocks, where the
+        # clamp-filled halo would otherwise yield a nonzero stencil result.
+        zidx = jnp.arange(ref_ext.shape[0])[:, None, None]
+        lo_border = (dev == 0) & (zidx >= halo) & (zidx < halo + 2)
+        hi_border = (dev == n_dev - 1) & (zidx >= halo + bz - 2) & (zidx < halo + bz)
+        gz = jnp.where(lo_border | hi_border, 0.0, gz)
         coeff = bspline.tricubic_prepare(tar_ext)
         # translate POI z into extended-block coordinates
         z_local = zs_b - (dev * bz).astype(jnp.float32) + halo
         zin = jnp.where(ok_b, z_b, jnp.float32(-10.0))  # poison padding
+        # Interpolation range guard in *global* coordinates: a warp past the
+        # global z edge must fail with -3 exactly as tricubic_eval's
+        # [1, dim-2) guard would in the unsharded computation, instead of
+        # interpolating the clamp-filled halo.
+        zlo = jnp.where(dev == 0, jnp.float32(halo + 1), jnp.float32(-jnp.inf))
+        zhi = jnp.where(dev == n_dev - 1, jnp.float32(halo + bz - 2),
+                        jnp.float32(jnp.inf))
         out = icgn_ops.icgn3d1(
             gx, gy, gz, ref_ext, coeff, xs_b, ys_b, z_local, p_b, zin,
             conv, max_iter, rx=rx, ry=ry, rz=rz,
+            z_guard_lo=zlo, z_guard_hi=zhi,
         )
         return tuple(o[None] for o in out[:6])
 

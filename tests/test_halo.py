@@ -41,6 +41,39 @@ def test_sharded_icgn3d_matches_single(speckle_pair_3d):
     assert dw.max() < 1e-3
 
 
+def test_sharded_edge_blocks_match_clamped_global(speckle_pair_3d):
+    """POIs whose subsets touch the global z boundary: the edge blocks'
+    clamp-filled halos must reproduce the global clamped prefilter and the
+    zeroed gradient_z border, not the old wrapped slabs."""
+    ref, tar, tu, tv, tw = speckle_pair_3d  # 48^3 volume
+    r = 3
+    # subsets span z in [1, 7] and [38, 44]: prefilter taps reach past the
+    # global edges and gradient_z's 2-px zero border is inside the low subset
+    # (the w=+1 integer seed must keep the warped subset under the dim-2 guard)
+    t = oc.new_table_3d([12.0, 36.0, 12.0], [12.0, 36.0, 12.0], [4.0, 41.0, 4.0])
+    # seed the integer-rounded true shift (FFTCC's radius would cross the edge)
+    p = np.zeros((3, 12), np.float32)
+    p[:, 0], p[:, 4], p[:, 8] = round(tu), round(tv), round(tw)
+    t = t.replace(p=p)
+
+    single = oc.ICGN3D1(r, r, r, 0.001, 10)
+    single.set_images(ref, tar)
+    single.prepare()
+    base = single.compute(t)
+
+    mesh = mesh_mod.make_mesh(4, axis="z")
+    m = halo_mod.ShardedICGN3D1(r, r, r, 0.001, 10)
+    m.set_images(ref, tar)
+    out = m.compute(t, mesh)
+
+    zb = np.asarray(base.zncc)
+    zo = np.asarray(out.zncc)
+    assert (zb > 0).all(), zb
+    np.testing.assert_allclose(zo, zb, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(base.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.w), np.asarray(base.w), atol=1e-4)
+
+
 def test_sharded_global_boundary_guard(speckle_pair_3d):
     ref, tar, _, _, _ = speckle_pair_3d
     r = 3
