@@ -33,15 +33,18 @@ def _pad_len(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
-def chunked(fn, table, chunk_size: Optional[int]):
-    """Apply ``fn(sub_table) -> sub_table`` over fixed-size POI chunks.
+def chunked(fn, table, chunk_size: Optional[int], *extras):
+    """Apply ``fn(sub_table, *sub_extras) -> sub_table`` over fixed-size POI
+    chunks.  ``extras`` are optional per-POI arrays (leading axis = queue
+    length, e.g. EpipolarSearch's center offsets) padded and sliced alongside
+    the table.
 
     ``fn`` must be shape-polymorphic only in data values (it is called with a
     constant chunk length so jit compiles once).
     """
     n = table.n
     if chunk_size is None or n <= chunk_size:
-        return fn(table)
+        return fn(table, *extras)
     padded = _pad_len(n, chunk_size)
     pad = padded - n
 
@@ -49,9 +52,10 @@ def chunked(fn, table, chunk_size: Optional[int]):
         if a.ndim == 0:
             return a
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, widths, mode="edge")
+        return jnp.pad(jnp.asarray(a), widths, mode="edge")
 
-    big = jax.tree_util.tree_map(pad_leaf, table)
+    bundle = (table,) + extras
+    big = jax.tree_util.tree_map(pad_leaf, bundle)
     outs = []
     for i in range(padded // chunk_size):
         sub = jax.tree_util.tree_map(
@@ -59,7 +63,7 @@ def chunked(fn, table, chunk_size: Optional[int]):
             if a.ndim else a,
             big,
         )
-        outs.append(fn(sub))
+        outs.append(fn(*sub))
     cat = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
     return jax.tree_util.tree_map(lambda a: a[:n] if a.ndim else a, cat)
 

@@ -119,9 +119,7 @@ class _ICGN2DBase(base.Module2D):
         conv = jnp.float32(self.conv_criterion)
         max_iter = jnp.float32(self.stop_condition)
 
-        offs = center_offset
-
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t: poi_mod.POITable2D, offs=None) -> poi_mod.POITable2D:
             p_out, r, sr = _icgn2d_full(
                 self._gx, self._gy, self.ref_img, self._lut,
                 t.x, t.y, t.p, t.r, t.sr, conv, max_iter, offs,
@@ -129,11 +127,10 @@ class _ICGN2DBase(base.Module2D):
             )
             return t.replace(p=p_out, r=r, sr=sr)
 
-        if offs is not None and self.chunk_size is not None \
-                and table.n > self.chunk_size:
-            # center offsets must be chunked alongside the table; keep it
-            # simple by disabling chunking when offsets are supplied.
-            return run(table)
+        if center_offset is not None:
+            # center offsets ([N, 2]) are padded/sliced alongside the table
+            return base.chunked(run, table, self.chunk_size,
+                                jnp.asarray(center_offset))
         return base.chunked(run, table, self.chunk_size)
 
     def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:

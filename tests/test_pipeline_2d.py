@@ -207,3 +207,99 @@ def test_icgn_self_adaptive_mixed_radii(speckle_pair_2d):
     assert ok.mean() > 0.8
     assert abs(np.asarray(out.u)[ok].mean() - tu) < 0.02
     assert abs(np.asarray(out.v)[ok].mean() - tv) < 0.02
+
+
+def test_icgn_center_offset_chunked_matches_unchunked(speckle_pair_2d):
+    """Center offsets ([N, 2], the stereo overload oc_icgn.cpp:353-560) must
+    be padded/sliced alongside the table when the queue exceeds chunk_size."""
+    ref, tar, tu, tv = speckle_pair_2d
+    pois = oc.poi_grid_2d((30, 30), 6, 5, 9)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(ref, tar)
+    pois = f.compute(pois)
+    rng = np.random.default_rng(0)
+    offs = rng.uniform(-0.4, 0.4, size=(pois.n, 2)).astype(np.float32)
+
+    whole = oc.ICGN2D1(10, 10, 0.001, 10)
+    whole.set_images(ref, tar)
+    whole.prepare()
+    base_out = whole.compute(pois, center_offset=offs)
+
+    small = oc.ICGN2D1(10, 10, 0.001, 10, chunk_size=128)
+    small.set_images(ref, tar)
+    small.prepare()
+    out = small.compute(pois, center_offset=offs)
+
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(base_out.u),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.v), np.asarray(base_out.v),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.zncc),
+                               np.asarray(base_out.zncc), atol=1e-6)
+
+
+def test_strain_knn_fallback_large_neighbor_min():
+    """neighbor_number_min beyond the old kmax=16 cap must still fit: sparse
+    POIs force the exact-k KNN fallback (oc_strain.cpp:173-188 with
+    search_k = neighbor_number_min)."""
+    rng = np.random.default_rng(3)
+    n = 400
+    x = rng.uniform(0, 200, n).astype(np.float32)
+    y = rng.uniform(0, 200, n).astype(np.float32)
+    exx, eyy, exy_u, exy_v = 0.01, -0.005, 0.002, 0.004
+    u = exx * x + exy_u * y
+    v = exy_v * x + eyy * y
+    t = oc.new_table_2d(x, y)
+    p = np.zeros((n, 12), np.float32)
+    p[:, poi_mod.U] = u
+    p[:, poi_mod.V] = v
+    r = np.zeros_like(np.asarray(t.r))
+    r[:, poi_mod.R_ZNCC] = 0.99
+    t = t.replace(p=p, r=jnp.asarray(r))
+
+    # radius too small for 24 neighbors at this density -> KNN fallback
+    strain = oc.Strain(subregion_radius=6.0, neighbor_number_min=24)
+    out = strain.compute(t)
+    e = np.asarray(out.e)
+    assert np.abs(e[:, 0] - exx).max() < 1e-4
+    assert np.abs(e[:, 1] - eyy).max() < 1e-4
+    assert np.abs(e[:, 2] - 0.5 * (exy_u + exy_v)).max() < 1e-4
+
+
+def test_strain_grid_path_matches_kdtree_path():
+    """The grid-stencil fast path and the general cKDTree path must select
+    identical neighbor sets (strict dist < radius) and produce the same fit."""
+    from opencorr_tpu.ops import strain as strain_ops
+
+    rng = np.random.default_rng(1)
+    xs, ys = np.meshgrid(np.arange(40) * 2.0 + 30, np.arange(25) * 2.0 + 40)
+    x = xs.ravel().astype(np.float32)
+    y = ys.ravel().astype(np.float32)
+    n = x.size
+    u = 0.01 * x + 0.003 * y + rng.normal(0, 0.01, n)
+    v = -0.002 * x + 0.008 * y + rng.normal(0, 0.01, n)
+    t = oc.new_table_2d(x, y)
+    p = np.zeros((n, 12), np.float32)
+    p[:, poi_mod.U] = u
+    p[:, poi_mod.V] = v
+    r = np.zeros_like(np.asarray(t.r))
+    # fail a random subset to exercise the zncc filter
+    zn = np.where(rng.uniform(size=n) < 0.1, -3.0, 0.99)
+    r[:, poi_mod.R_ZNCC] = zn
+    t = t.replace(p=p, r=jnp.asarray(r))
+
+    s = oc.Strain(subregion_radius=10.0, neighbor_number_min=5)
+    out_grid = s.compute(t)
+    assert s._grid_2d(x, y) is not None  # grid path actually taken
+
+    # force the scattered path by perturbing nothing but the dispatch:
+    nb_idx, nb_ok, use_radius = s._neighbors(np.stack([x, y], -1))
+    e_kd = strain_ops.strain2d(
+        t.x, t.y, jnp.asarray(u, jnp.float32), jnp.asarray(v, jnp.float32),
+        t.r[:, poi_mod.R_ZNCC],
+        t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
+        nb_idx, nb_ok, use_radius,
+        jnp.float32(10.0), jnp.float32(0.9), jnp.float32(5),
+        approximation=1)
+    np.testing.assert_allclose(np.asarray(out_grid.e), np.asarray(e_kd),
+                               atol=2e-6)
