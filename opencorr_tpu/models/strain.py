@@ -2,9 +2,11 @@
 
 from __future__ import annotations
 
+import weakref
 from typing import Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..data import poi as poi_mod
 from ..ops import strain as strain_ops
@@ -16,19 +18,29 @@ class Strain:
 
     Defaults mirror the reference ctor (oc_strain.cpp:31-46): ZNCC threshold
     0.9, Lagrangian description, Cauchy approximation.  The per-thread k-d
-    trees (oc_strain.cpp:97-147) are replaced by masked distance matmuls
-    computed on device (ops/strain.py).
+    trees (oc_strain.cpp:97-147) are replaced by two TPU-friendly paths:
+
+    * **grid** (the common case — POI queues are regular grids): the in-radius
+      neighbor set is a fixed offset stencil; the device kernel derives every
+      POI's neighbor indices by index arithmetic, fused with the fit into one
+      program.  No host per-POI work at all.
+    * **scattered**: one host cKDTree precomputes a fixed-width neighbor index
+      table (exact-k ``knnSearch`` fallback included); the fits run batched on
+      device (ops/strain.py).
     """
 
     def __init__(self, subregion_radius: float = 20.0,
                  neighbor_number_min: int = 5,
-                 chunk_size: Optional[int] = 4096):
+                 chunk_size: Optional[int] = None):
+        """``chunk_size=None`` sizes POI chunks from a poi*neighbor budget
+        (large queues split; a 30k r=20 field runs as one dispatch)."""
         self.subregion_radius = float(subregion_radius)
         self.neighbor_number_min = int(neighbor_number_min)
         self.zncc_threshold = 0.9
         self.description = 1  # 1: Lagrangian, 2: Eulerian (output doc only)
         self.approximation = 1  # 1: Cauchy, 2: Green-Lagrange
         self.chunk_size = chunk_size
+        self._cache = []  # [(weakref(x), kind, (radius, nmin), data)]
 
     def set_subregion_radius(self, r: float):
         self.subregion_radius = float(r)
@@ -45,8 +57,90 @@ class Strain:
     def set_approximation(self, a: int):
         self.approximation = int(a)
 
-    def prepare(self, table=None):
-        """No-op: neighbor search happens inside compute on device."""
+    def prepare(self, table=None, points=None):
+        """Optionally pre-build the neighbor structure for a table (the
+        reference rebuilds its k-d trees per queue, oc_strain.cpp:97-147;
+        here repeated compute() calls on the same table reuse the cache).
+
+        ``points``: optional host-side ``[N, 2|3]`` coordinates matching the
+        table — supplies the search coordinates without reading back device
+        buffers (2DS search coords are the 2D image x, y)."""
+        if table is None:
+            return
+        if points is None:
+            self.compute(table)
+            return
+        pts = np.asarray(points, np.float64)
+        if isinstance(table, poi_mod.POITable2D):
+            kind = "2d"
+        elif isinstance(table, poi_mod.POITable3D):
+            kind = "3d"
+        elif isinstance(table, poi_mod.POITable2DS):
+            kind = "2ds"
+        else:
+            raise TypeError(type(table))
+
+        def build():
+            if kind == "3d":
+                g = strain_ops.detect_grid_3d(pts[:, 0], pts[:, 1], pts[:, 2])
+                if g is not None:
+                    iz, iy, ix, lookup, gz, gy, gx = g
+                    st = strain_ops.grid_stencil_3d(
+                        gz, gy, gx, self.subregion_radius,
+                        self.neighbor_number_min)
+                    if st is not None:
+                        dk, di, dj = st
+                        return ("grid", (jnp.asarray(iz), jnp.asarray(iy),
+                                         jnp.asarray(ix), jnp.asarray(lookup),
+                                         jnp.asarray(dk), jnp.asarray(di),
+                                         jnp.asarray(dj)))
+            else:
+                grid = self._grid_2d(pts[:, 0], pts[:, 1])
+                if grid is not None:
+                    return ("grid", grid)
+            return ("kdtree", self._neighbors(pts))
+
+        self._cached(table.x, kind, build)
+
+    def _cached(self, xobj, kind, build):
+        """Memoize the neighbor structure on the coordinate buffer identity so
+        steady-state compute() calls do no host work and no transfers."""
+        params = (self.subregion_radius, self.neighbor_number_min)
+        for ref, k, p, data in self._cache:
+            if k == kind and p == params and ref() is xobj:
+                return data
+        data = build()
+        self._cache.append((weakref.ref(xobj), kind, params, data))
+        if len(self._cache) > 8:
+            self._cache.pop(0)
+        return data
+
+    def _chunk(self, k: int) -> Optional[int]:
+        """POI chunk length bounding the [chunk, K] working set (~64M
+        gathered cells; one dispatch for typical fields)."""
+        if self.chunk_size is not None:
+            return self.chunk_size
+        return max(4096, 64_000_000 // max(int(k), 1))
+
+    def _grid_2d(self, x, y):
+        """Grid fast path pieces for a 2D point set, or None."""
+        g = strain_ops.detect_grid_2d(x, y)
+        if g is None:
+            return None
+        iy, ix, lookup, gy, gx = g
+        st = strain_ops.grid_stencil_2d(gy, gx, self.subregion_radius,
+                                        self.neighbor_number_min)
+        if st is None:  # corner POIs could need the exact-KNN fallback
+            return None
+        di, dj = st
+        return (jnp.asarray(iy), jnp.asarray(ix), jnp.asarray(lookup),
+                jnp.asarray(di), jnp.asarray(dj))
+
+    def _neighbors(self, search_pts: np.ndarray):
+        idx, ok, use_radius = strain_ops.neighbor_lists(
+            search_pts, search_pts, self.subregion_radius,
+            self.neighbor_number_min)
+        return jnp.asarray(idx), jnp.asarray(ok), jnp.asarray(use_radius)
 
     def compute(self, table):
         if isinstance(table, poi_mod.POITable2D):
@@ -65,15 +159,42 @@ class Strain:
         vs = table.p[:, poi_mod.V]
         zncc = table.r[:, poi_mod.R_ZNCC]
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def build():
+            x_np, y_np = np.asarray(table.x), np.asarray(table.y)
+            grid = self._grid_2d(x_np, y_np)
+            if grid is not None:
+                return ("grid", grid)
+            return ("kdtree",
+                    self._neighbors(np.stack([x_np, y_np], axis=-1)))
+
+        mode, data = self._cached(table.x, "2d", build)
+        if mode == "grid":
+            iy, ix, lookup, di, dj = data
+
+            def run_g(t, iy_c, ix_c):
+                e = strain_ops.strain2d_grid(
+                    table.x, table.y, us, vs, zncc,
+                    t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
+                    iy_c, ix_c, lookup, di, dj,
+                    radius, thr, nmin, approximation=self.approximation,
+                )
+                return t.replace(e=e)
+
+            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix)
+
+        nb_idx, nb_ok, use_radius = data
+
+        def run(t, idx_c, ok_c, ur_c):
             e = strain_ops.strain2d(
-                table.x, table.y, us, vs, zncc, table.e,
+                table.x, table.y, us, vs, zncc,
                 t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
+                idx_c, ok_c, ur_c,
                 radius, thr, nmin, approximation=self.approximation,
             )
             return t.replace(e=e)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
+                            nb_idx, nb_ok, use_radius)
 
     def _compute_3d(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         radius = jnp.float32(self.subregion_radius)
@@ -84,15 +205,54 @@ class Strain:
         ws = table.p[:, poi_mod.W3]
         zncc = table.r[:, poi_mod.R3_ZNCC]
 
-        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        def build():
+            x_np = np.asarray(table.x)
+            y_np = np.asarray(table.y)
+            z_np = np.asarray(table.z)
+            g = strain_ops.detect_grid_3d(x_np, y_np, z_np)
+            if g is not None:
+                iz, iy, ix, lookup, gz, gy, gx = g
+                st = strain_ops.grid_stencil_3d(
+                    gz, gy, gx, self.subregion_radius,
+                    self.neighbor_number_min)
+                if st is not None:
+                    dk, di, dj = st
+                    return ("grid", (jnp.asarray(iz), jnp.asarray(iy),
+                                     jnp.asarray(ix), jnp.asarray(lookup),
+                                     jnp.asarray(dk), jnp.asarray(di),
+                                     jnp.asarray(dj)))
+            return ("kdtree", self._neighbors(
+                np.stack([x_np, y_np, z_np], axis=-1)))
+
+        mode, data = self._cached(table.x, "3d", build)
+        if mode == "grid":
+            iz_d, iy_d, ix_d, lookup_d, dk_d, di_d, dj_d = data
+
+            def run_g(t, iz_c, iy_c, ix_c):
+                e = strain_ops.strain3d_grid(
+                    table.x, table.y, table.z, us, vs, ws, zncc,
+                    t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
+                    iz_c, iy_c, ix_c, lookup_d, dk_d, di_d, dj_d,
+                    radius, thr, nmin, approximation=self.approximation,
+                )
+                return t.replace(e=e)
+
+            return base.chunked(run_g, table, self._chunk(dk_d.shape[0]),
+                                iz_d, iy_d, ix_d)
+
+        nb_idx, nb_ok, use_radius = data
+
+        def run(t, idx_c, ok_c, ur_c):
             e = strain_ops.strain3d(
                 table.x, table.y, table.z, us, vs, ws, zncc,
                 t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
+                idx_c, ok_c, ur_c,
                 radius, thr, nmin, approximation=self.approximation,
             )
             return t.replace(e=e)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
+                            nb_idx, nb_ok, use_radius)
 
     def _compute_2ds(self, table: poi_mod.POITable2DS) -> poi_mod.POITable2DS:
         """Stereo strain: fit against reconstructed 3D ref_coor deltas; a POI
@@ -101,8 +261,8 @@ class Strain:
         thr = jnp.float32(self.zncc_threshold)
         nmin = jnp.float32(self.neighbor_number_min)
         # neighborhood search runs on the 2D image coords (oc_strain.cpp:256),
-        # but the fit uses 3D ref_coor deltas — pass ref_coor as coordinates
-        # and the min-of-three ZNCC as the gate.
+        # but the fit uses 3D ref_coor deltas; the min of the three stereo
+        # ZNCCs is the gate.
         zmin = jnp.min(
             table.r[:, 0:3], axis=1
         )  # r1r2_zncc, r1t1_zncc, r1t2_zncc
@@ -110,7 +270,38 @@ class Strain:
         vs = table.p[:, 1]
         ws = table.p[:, 2]
 
-        def run(t: poi_mod.POITable2DS) -> poi_mod.POITable2DS:
+        def build():
+            x_np, y_np = np.asarray(table.x), np.asarray(table.y)
+            grid = self._grid_2d(x_np, y_np)
+            if grid is not None:
+                return ("grid", grid)
+            return ("kdtree",
+                    self._neighbors(np.stack([x_np, y_np], axis=-1)))
+
+        mode, data = self._cached(table.x, "2ds", build)
+        if mode == "grid":
+            iy, ix, lookup, di, dj = data
+
+            def run_g(t, iy_c, ix_c):
+                qzmin = jnp.min(t.r[:, 0:3], axis=1)
+                e = strain_ops.strain2ds_grid(
+                    table.x, table.y,
+                    table.ref_coor[:, 0], table.ref_coor[:, 1],
+                    table.ref_coor[:, 2],
+                    us, vs, ws, zmin,
+                    t.x, t.y,
+                    t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
+                    qzmin, t.e,
+                    iy_c, ix_c, lookup, di, dj,
+                    radius, thr, nmin, approximation=self.approximation,
+                )
+                return t.replace(e=e)
+
+            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix)
+
+        nb_idx, nb_ok, use_radius = data
+
+        def run(t, idx_c, ok_c, ur_c):
             qzmin = jnp.min(t.r[:, 0:3], axis=1)
             e = strain_ops.strain2ds(
                 table.x, table.y,
@@ -119,8 +310,10 @@ class Strain:
                 t.x, t.y,
                 t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
                 qzmin, t.e,
+                idx_c, ok_c, ur_c,
                 radius, thr, nmin, approximation=self.approximation,
             )
             return t.replace(e=e)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
+                            nb_idx, nb_ok, use_radius)

@@ -115,3 +115,22 @@ def test_sift_icgn2_vs_gpu_golden_subsample():
     # local optima than the golden run; gate on the robust center instead
     assert np.median(np.abs(np.asarray(out.u) - g[:, 2])[ok]) < 0.01
     assert np.median(np.abs(np.asarray(out.v) - g[:, 3])[ok]) < 0.01
+
+
+def test_strain_vs_golden_eyy_map():
+    """test_2d_dic_strain: resume from the golden ICGN table, compute strain
+    (r=20), compare eyy at every POI against the committed eyy value map."""
+    from opencorr_tpu.io import table as io_table
+
+    pois = io_table.load_table_2d(f"{GOLD_2D}/oht_cfrp_4_fftcc_icgn1_r16.csv")
+    strain = oc.Strain(subregion_radius=20.0, neighbor_number_min=5)
+    out = strain.compute(pois)
+    gold_map = np.genfromtxt(f"{GOLD_2D}/oht_cfrp_4_eyy.csv", delimiter=",")
+    xs = np.asarray(pois.x).astype(np.int32)
+    ys = np.asarray(pois.y).astype(np.int32)
+    gold_eyy = gold_map[ys, xs]
+    eyy = np.asarray(out.e)[:, 1]
+    sel = np.asarray(pois.zncc) > 0.9
+    d = np.abs(eyy - gold_eyy)[sel]
+    assert d.mean() < 1e-6, d.mean()
+    assert d.max() < 1e-4, d.max()
