@@ -1,0 +1,579 @@
+"""TPU-native 2D SIFT feature detection and description.
+
+The reference delegates to OpenCV's CPU SIFT (``oc_sift.cpp:60-130``); this
+module re-implements the same algorithm (Lowe's SIFT with OpenCV's exact
+parameterization: contrast threshold scaling, cvRound banker's rounding,
+reflect-101 blur borders, 0.8 orientation-peak ratio, 4x4x8 descriptor with
+trilinear binning, 0.2 magnitude clip, 512 scaling with uchar saturation) as
+batched JAX kernels so the whole feature stage runs on the accelerator:
+
+* Gaussian pyramid: separable convolutions per octave (static sigmas).
+* DoG extrema: 26-neighbor shifted comparisons; candidates extracted in scan
+  order by a cumsum compaction (no data-dependent shapes).
+* Subpixel refinement: the 5-step quadratic-fit iteration, vmapped over the
+  candidate batch with masked state instead of per-pixel control flow.
+* Orientation / descriptor: fixed-size windows gathered per keypoint (padded
+  images, per-keypoint radius masks); the descriptor's trilinear scatter is
+  re-expressed as dense tent-weight reductions (a [K, window] contraction per
+  spatial/orientation bin), which is exactly equivalent and TPU-friendly;
+  descriptor batches stream through ``lax.map`` chunks to bound memory.
+
+Host work is limited to assembling per-octave device results; there are no
+host syncs between octaves.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import linalg as linalg_ops
+
+# OpenCV SIFT constants
+IMG_BORDER = 5
+MAX_INTERP_STEPS = 5
+ORI_HIST_BINS = 36
+ORI_SIG_FCTR = 1.5
+ORI_RADIUS = 3 * ORI_SIG_FCTR
+ORI_PEAK_RATIO = 0.8
+DESCR_WIDTH = 4
+DESCR_HIST_BINS = 8
+DESCR_SCL_FCTR = 3.0
+DESCR_MAG_THR = 0.2
+INT_DESCR_FCTR = 512.0
+
+MAX_ORI_PEAKS = 3  # OpenCV emits one keypoint per histogram peak; >3 is rare
+DESC_CHUNK = 1024  # descriptor instances processed per lax.map step
+
+
+def _gauss_kernel(sigma: float) -> np.ndarray:
+    """cv::getGaussianKernel for float images: ksize = round(8*sigma+1)|1."""
+    ksize = int(round(sigma * 8 + 1)) | 1
+    half = ksize // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur with BORDER_REFLECT_101."""
+    half = len(kernel) // 2
+    k = jnp.asarray(kernel)
+    p = jnp.pad(img, ((half, half), (0, 0)), mode="reflect")
+    img = jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, :, None], (1, 1), "VALID")[0, 0]
+    p = jnp.pad(img, ((0, 0), (half, half)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        p[None, None], k[None, None, None, :], (1, 1), "VALID")[0, 0]
+
+
+def _compact(mask: jnp.ndarray, k: int):
+    """Indices of the first k set elements of ``mask`` in scan order.
+
+    Cumsum + scatter (O(n)); returns (idx [k] int32, ok [k] bool)."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask, pos, k)  # overflow rows dropped by scatter mode
+    out = jnp.zeros(k, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    count = jnp.where(mask.any(), pos[-1] + 1, 0)
+    ok = jnp.arange(k) < count
+    return out, ok
+
+
+def n_octaves_for(shape: Tuple[int, int]) -> int:
+    """Octave count incl. the doubled base (cv::SIFT with firstOctave=-1)."""
+    base_min = min(shape) * 2
+    return max(int(round(math.log2(base_min) - 2)) + 1, 1)
+
+
+def octave_sigmas(sigma: float, n_layers: int) -> List[float]:
+    """Incremental blur sigmas per layer (sift.cpp buildGaussianPyramid)."""
+    k = 2.0 ** (1.0 / n_layers)
+    sig = [sigma]
+    for i in range(1, n_layers + 3):
+        sig_prev = sigma * k ** (i - 1)
+        sig_total = sig_prev * k
+        sig.append(math.sqrt(sig_total * sig_total - sig_prev * sig_prev))
+    return sig
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def build_base(img: jnp.ndarray, *, sigma: float) -> jnp.ndarray:
+    """createInitialImage: u8-rounded input, 2x bilinear upscale, pre-blur."""
+    img = jnp.round(jnp.clip(img, 0.0, 255.0))
+    h, w = img.shape
+    dbl = jax.image.resize(img, (2 * h, 2 * w), "linear")
+    sig_diff = math.sqrt(max(sigma * sigma - 1.0, 0.01))
+    return _blur(dbl, _gauss_kernel(sig_diff))
+
+
+@functools.partial(jax.jit, static_argnames=("sigmas",))
+def build_octave(base: jnp.ndarray, *, sigmas: Tuple[float, ...]):
+    """One octave: [nL+3, H, W] Gaussian stack and [nL+2, H, W] DoG stack."""
+    layers = [base]
+    for s in sigmas[1:]:
+        layers.append(_blur(layers[-1], _gauss_kernel(s)))
+    gauss = jnp.stack(layers)
+    dog = gauss[1:] - gauss[:-1]
+    return gauss, dog
+
+
+def _extremum_mask(dog: jnp.ndarray, thr: float, n_layers: int) -> jnp.ndarray:
+    """26-neighbor extremum test over layers 1..n_layers ([nL, H, W] bool)."""
+    center = dog[1 : 1 + n_layers]
+    ge = jnp.ones_like(center, bool)
+    le = jnp.ones_like(center, bool)
+    for dl in (-1, 0, 1):
+        sl = dog[1 + dl : 1 + dl + n_layers]
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dl == 0 and dr == 0 and dc == 0:
+                    continue
+                nb = jnp.roll(sl, (-dr, -dc), axis=(1, 2))
+                ge = ge & (center >= nb)
+                le = le & (center <= nb)
+    mask = (jnp.abs(center) > thr) & (
+        ((center > 0) & ge) | ((center < 0) & le))
+    h, w = dog.shape[1], dog.shape[2]
+    rr = jnp.arange(h)[None, :, None]
+    cc = jnp.arange(w)[None, None, :]
+    border = ((rr >= IMG_BORDER) & (rr < h - IMG_BORDER)
+              & (cc >= IMG_BORDER) & (cc < w - IMG_BORDER))
+    return mask & border
+
+
+def _refine_candidates(dog, layer0, r0, c0, cand_ok, *, n_layers,
+                       contrast_thr, edge_thr):
+    """adjustLocalExtrema (sift.cpp): 5-iteration quadratic fit, batched."""
+    f32 = jnp.float32
+    h, w = dog.shape[1], dog.shape[2]
+    img_scale = f32(1.0 / 255.0)
+    deriv_scale = img_scale * 0.5
+    second_scale = img_scale
+    cross_scale = img_scale * 0.25
+
+    def cube(layer, r, c):
+        def one(l, rr, cc):
+            return jax.lax.dynamic_slice(dog, (l - 1, rr - 1, cc - 1),
+                                         (3, 3, 3))
+        return jax.vmap(one)(layer, r, c)
+
+    def derivs(v):
+        dD = jnp.stack([
+            (v[:, 1, 1, 2] - v[:, 1, 1, 0]) * deriv_scale,
+            (v[:, 1, 2, 1] - v[:, 1, 0, 1]) * deriv_scale,
+            (v[:, 2, 1, 1] - v[:, 0, 1, 1]) * deriv_scale,
+        ], -1)
+        c2 = v[:, 1, 1, 1] * 2.0
+        dxx = (v[:, 1, 1, 2] + v[:, 1, 1, 0] - c2) * second_scale
+        dyy = (v[:, 1, 2, 1] + v[:, 1, 0, 1] - c2) * second_scale
+        dss = (v[:, 2, 1, 1] + v[:, 0, 1, 1] - c2) * second_scale
+        dxy = (v[:, 1, 2, 2] - v[:, 1, 2, 0] - v[:, 1, 0, 2]
+               + v[:, 1, 0, 0]) * cross_scale
+        dxs = (v[:, 2, 1, 2] - v[:, 2, 1, 0] - v[:, 0, 1, 2]
+               + v[:, 0, 1, 0]) * cross_scale
+        dys = (v[:, 2, 2, 1] - v[:, 2, 0, 1] - v[:, 0, 2, 1]
+               + v[:, 0, 0, 1]) * cross_scale
+        H = jnp.stack([
+            jnp.stack([dxx, dxy, dxs], -1),
+            jnp.stack([dxy, dyy, dys], -1),
+            jnp.stack([dxs, dys, dss], -1),
+        ], -2)
+        return dD, H
+
+    layer, r, c = layer0, r0, c0
+    alive = cand_ok
+    done = jnp.zeros_like(cand_ok)
+    xc = jnp.zeros(r.shape, f32)
+    xr = jnp.zeros(r.shape, f32)
+    xi = jnp.zeros(r.shape, f32)
+
+    for _ in range(MAX_INTERP_STEPS):
+        v = cube(layer, r, c)
+        dD, H = derivs(v)
+        X = linalg_ops.solve_small(H, dD)
+        xc_n, xr_n, xi_n = -X[:, 0], -X[:, 1], -X[:, 2]
+        step = alive & ~done
+        xc = jnp.where(step, xc_n, xc)
+        xr = jnp.where(step, xr_n, xr)
+        xi = jnp.where(step, xi_n, xi)
+        converged = (jnp.abs(xc_n) < 0.5) & (jnp.abs(xr_n) < 0.5) \
+            & (jnp.abs(xi_n) < 0.5)
+        blown = (jnp.abs(xc_n) > 7.15e8) | (jnp.abs(xr_n) > 7.15e8) \
+            | (jnp.abs(xi_n) > 7.15e8) | ~jnp.isfinite(xc_n) \
+            | ~jnp.isfinite(xr_n) | ~jnp.isfinite(xi_n)
+        alive = alive & ~(step & blown)
+        done = done | (step & converged & ~blown)
+        move = step & ~converged & ~blown
+        c_next = c + jnp.round(xc_n).astype(jnp.int32)
+        r_next = r + jnp.round(xr_n).astype(jnp.int32)
+        l_next = layer + jnp.round(xi_n).astype(jnp.int32)
+        inb = ((l_next >= 1) & (l_next <= n_layers)
+               & (c_next >= IMG_BORDER) & (c_next < w - IMG_BORDER)
+               & (r_next >= IMG_BORDER) & (r_next < h - IMG_BORDER))
+        alive = alive & ~(move & ~inb)
+        safe = move & inb
+        c = jnp.where(safe, c_next, c)
+        r = jnp.where(safe, r_next, r)
+        layer = jnp.where(safe, l_next, layer)
+
+    valid = alive & done  # not converged in 5 steps -> rejected
+
+    # contrast check at the final location
+    v = cube(layer, r, c)
+    dD, _ = derivs(v)
+    t = dD[:, 0] * xc + dD[:, 1] * xr + dD[:, 2] * xi
+    contr = v[:, 1, 1, 1] * img_scale + t * 0.5
+    valid = valid & (jnp.abs(contr) * n_layers >= contrast_thr)
+
+    # edge response on the 2x2 spatial Hessian
+    c2 = v[:, 1, 1, 1] * 2.0
+    dxx = (v[:, 1, 1, 2] + v[:, 1, 1, 0] - c2) * second_scale
+    dyy = (v[:, 1, 2, 1] + v[:, 1, 0, 1] - c2) * second_scale
+    dxy = (v[:, 1, 2, 2] - v[:, 1, 2, 0] - v[:, 1, 0, 2]
+           + v[:, 1, 0, 0]) * cross_scale
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    e = f32(edge_thr)
+    valid = valid & (det > 0) & (tr * tr * e < (e + 1) * (e + 1) * det)
+
+    return dict(valid=valid, layer=layer, r=r, c=c, xc=xc, xr=xr, xi=xi,
+                response=jnp.abs(contr))
+
+
+def _window_grads(gauss, layer, r, c, R):
+    """[K, 2R+1, 2R+1] image windows and central-difference gradients.
+
+    The gather uses an (R+1)-padded image so edge-adjacent windows exist; the
+    extra ring means rolled gradients at |offset| <= R are exact."""
+    Rw = R + 1
+    win = 2 * Rw + 1
+    pad = jnp.pad(gauss, ((0, 0), (Rw, Rw), (Rw, Rw)), mode="edge")
+
+    def one(l, rr, cc):
+        return jax.lax.dynamic_slice(pad, (l, rr, cc), (1, win, win))[0]
+
+    w_img = jax.vmap(one)(layer, r, c)  # centered at (r, c)
+    dx = jnp.roll(w_img, -1, axis=2) - jnp.roll(w_img, 1, axis=2)
+    dy = jnp.roll(w_img, 1, axis=1) - jnp.roll(w_img, -1, axis=1)
+    # trim the guard ring -> [K, 2R+1, 2R+1]
+    dx = dx[:, 1:-1, 1:-1]
+    dy = dy[:, 1:-1, 1:-1]
+    return dx, dy
+
+
+def _ori_and_peaks(gauss, layer, r, c, scl_octv, valid, *, radius_max):
+    """calcOrientationHist + the 0.8-ratio peak loop.
+    Returns (angles [K, P], peak_ok [K, P])."""
+    f32 = jnp.float32
+    h, w = gauss.shape[1], gauss.shape[2]
+    kk = r.shape[0]
+    R = radius_max
+    dx, dy = _window_grads(gauss, layer, r, c, R)
+
+    ii, jj = jnp.meshgrid(jnp.arange(-R, R + 1), jnp.arange(-R, R + 1),
+                          indexing="ij")
+    ii = ii[None].astype(f32)
+    jj = jj[None].astype(f32)
+    radius = jnp.round(ORI_RADIUS * scl_octv)[:, None, None]
+    sig = ORI_SIG_FCTR * scl_octv
+    expf_scale = (-1.0 / (2.0 * sig * sig))[:, None, None]
+    yy = r[:, None, None].astype(f32) + ii
+    xx = c[:, None, None].astype(f32) + jj
+    ok = ((jnp.abs(ii) <= radius) & (jnp.abs(jj) <= radius)
+          & (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))
+
+    W = jnp.exp((ii * ii + jj * jj) * expf_scale)
+    mag = jnp.sqrt(dx * dx + dy * dy) * W
+    mag = jnp.where(ok, mag, 0.0)
+    ori = jnp.degrees(jnp.arctan2(dy, dx))
+    ori = jnp.where(ori < 0, ori + 360.0, ori)
+    bins = jnp.round(ori * (ORI_HIST_BINS / 360.0)).astype(jnp.int32)
+    bins = jnp.where(bins >= ORI_HIST_BINS, bins - ORI_HIST_BINS, bins)
+    bins = jnp.where(bins < 0, bins + ORI_HIST_BINS, bins)
+
+    flat_b = bins.reshape(kk, -1)
+    flat_m = mag.reshape(kk, -1)
+    hist = jax.vmap(
+        lambda b, m: jnp.zeros(ORI_HIST_BINS, f32).at[b].add(m)
+    )(flat_b, flat_m)
+
+    # circular smoothing [1, 4, 6, 4, 1] / 16
+    hm2 = jnp.roll(hist, 2, axis=1)
+    hm1 = jnp.roll(hist, 1, axis=1)
+    hp1 = jnp.roll(hist, -1, axis=1)
+    hp2 = jnp.roll(hist, -2, axis=1)
+    hist = (hm2 + hp2) * (1.0 / 16.0) + (hm1 + hp1) * (4.0 / 16.0) \
+        + hist * (6.0 / 16.0)
+
+    omax = jnp.max(hist, axis=1, keepdims=True)
+    hl = jnp.roll(hist, 1, axis=1)
+    hr = jnp.roll(hist, -1, axis=1)
+    is_peak = (hist > hl) & (hist > hr) & (hist >= ORI_PEAK_RATIO * omax)
+    peak_val = jnp.where(is_peak, hist, -1.0)
+    topv, topi = jax.lax.top_k(peak_val, MAX_ORI_PEAKS)  # [K, P]
+    peak_ok = (topv > 0) & valid[:, None]
+
+    hl_s = jnp.take_along_axis(hl, topi, axis=1)
+    hr_s = jnp.take_along_axis(hr, topi, axis=1)
+    hc_s = jnp.take_along_axis(hist, topi, axis=1)
+    denom = hl_s - 2.0 * hc_s + hr_s
+    b = topi.astype(f32) + 0.5 * (hl_s - hr_s) / jnp.where(
+        denom == 0, f32(1), denom)
+    b = jnp.where(b < 0, b + ORI_HIST_BINS,
+                  jnp.where(b >= ORI_HIST_BINS, b - ORI_HIST_BINS, b))
+    angle = 360.0 - (360.0 / ORI_HIST_BINS) * b
+    angle = jnp.where(jnp.abs(angle - 360.0) < 1.19e-7, 0.0, angle)
+    return angle, peak_ok
+
+
+def _descriptor_chunk(gauss, layer, r_f, c_f, scl_octv, angle, valid, *,
+                      radius_max):
+    """calcSIFTDescriptor for one instance chunk: [C, 128] floats."""
+    f32 = jnp.float32
+    d, n = DESCR_WIDTH, DESCR_HIST_BINS
+    h, w = gauss.shape[1], gauss.shape[2]
+    R = radius_max
+
+    r_i = jnp.round(r_f).astype(jnp.int32)
+    c_i = jnp.round(c_f).astype(jnp.int32)
+    dx, dy = _window_grads(gauss, layer, r_i, c_i, R)
+
+    ori = 360.0 - angle
+    ori = jnp.where(jnp.abs(ori - 360.0) < 1.19e-7, 0.0, ori)
+    ori_rad = jnp.deg2rad(ori)
+    hist_width = DESCR_SCL_FCTR * scl_octv
+    cos_t = (jnp.cos(ori_rad) / hist_width)[:, None, None]
+    sin_t = (jnp.sin(ori_rad) / hist_width)[:, None, None]
+    radius = jnp.round(hist_width * math.sqrt(2.0) * (d + 1) * 0.5)
+    radius = jnp.minimum(radius, f32(math.sqrt(h * h + w * w)))[:, None, None]
+
+    ii, jj = jnp.meshgrid(jnp.arange(-R, R + 1), jnp.arange(-R, R + 1),
+                          indexing="ij")
+    ii = ii[None].astype(f32)
+    jj = jj[None].astype(f32)
+    c_rot = jj * cos_t - ii * sin_t
+    r_rot = jj * sin_t + ii * cos_t
+    rbin = r_rot + (d / 2 - 0.5)
+    cbin = c_rot + (d / 2 - 0.5)
+
+    yy = r_i[:, None, None].astype(f32) + ii
+    xx = c_i[:, None, None].astype(f32) + jj
+    ok = ((jnp.abs(ii) <= radius) & (jnp.abs(jj) <= radius)
+          & (rbin > -1) & (rbin < d) & (cbin > -1) & (cbin < d)
+          & (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1))
+
+    grad_ori = jnp.degrees(jnp.arctan2(dy, dx))
+    grad_ori = jnp.where(grad_ori < 0, grad_ori + 360.0, grad_ori)
+    obin = (grad_ori - ori[:, None, None]) * (n / 360.0)
+    exp_scale = -1.0 / (d * d * 0.5)
+    W = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
+    mag = jnp.sqrt(dx * dx + dy * dy) * W
+    mag = jnp.where(ok, mag, 0.0)
+
+    # Dense tent-weight contraction == OpenCV's trilinear scatter: each pixel
+    # contributes tent weights to <=2 bins per axis; the dense [C, p, bins]
+    # weight tensors make it three einsums instead of a scatter.
+    kk = r_f.shape[0]
+    flat = lambda a: a.reshape(kk, -1)
+    rbin_f, cbin_f, obin_f, mag_f = flat(rbin), flat(cbin), flat(obin), flat(mag)
+    br = jnp.arange(d, dtype=f32)
+    wr = jnp.maximum(0.0, 1.0 - jnp.abs(rbin_f[..., None] - br))  # [C, p, 4]
+    wc = jnp.maximum(0.0, 1.0 - jnp.abs(cbin_f[..., None] - br))
+    bo = jnp.arange(n, dtype=f32)
+    dist = jnp.mod(obin_f[..., None] - bo, f32(n))  # [C, p, 8]
+    wo = jnp.maximum(0.0, 1.0 - jnp.minimum(dist, n - dist))
+    rc = jnp.einsum("kpr,kpc->kprc", wr * mag_f[..., None], wc)
+    desc = jnp.einsum("kprc,kpo->krco", rc, wo).reshape(kk, d * d * n)
+
+    # normalize -> clip 0.2 -> renormalize to 512, uchar saturation
+    nrm2 = jnp.sum(desc * desc, axis=1, keepdims=True)
+    thr = jnp.sqrt(nrm2) * DESCR_MAG_THR
+    desc = jnp.minimum(desc, thr)
+    nrm2 = jnp.sum(desc * desc, axis=1, keepdims=True)
+    scale = INT_DESCR_FCTR / jnp.maximum(jnp.sqrt(nrm2), 1.19e-7)
+    desc = jnp.clip(jnp.round(desc * scale), 0.0, 255.0)
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_layers", "contrast_thr", "edge_thr", "sigma",
+                     "k_raw", "k_kp", "radius_ori", "radius_desc"),
+)
+def detect_octave(gauss, dog, *, n_layers, contrast_thr, edge_thr, sigma,
+                  k_raw, k_kp, radius_ori, radius_desc):
+    """Full per-octave detection.  Returns per-instance arrays of static
+    length k_kp: (ok, x, y, layer+xi, scl_octv, response, angle, desc)."""
+    f32 = jnp.float32
+    h, w = dog.shape[1], dog.shape[2]
+    thr = math.floor(0.5 * contrast_thr / n_layers * 255)
+
+    mask = _extremum_mask(dog, thr, n_layers)
+    idx, cand_ok = _compact(mask.reshape(-1), k_raw)
+    layer0 = (idx // (h * w)).astype(jnp.int32) + 1
+    rc = idx % (h * w)
+    r0 = (rc // w).astype(jnp.int32)
+    c0 = (rc % w).astype(jnp.int32)
+
+    ref = _refine_candidates(
+        dog, layer0, r0, c0, cand_ok, n_layers=n_layers,
+        contrast_thr=contrast_thr, edge_thr=edge_thr)
+
+    # compact refined keypoints for the windowed stages
+    kp_idx, kp_ok = _compact(ref["valid"], k_kp)
+    g = lambda a: a[kp_idx]
+    layer, r, c = g(ref["layer"]), g(ref["r"]), g(ref["c"])
+    xc, xr, xi = g(ref["xc"]), g(ref["xr"]), g(ref["xi"])
+    resp = g(ref["response"])
+    scl_octv = sigma * jnp.exp2((layer.astype(f32) + xi) / n_layers)
+
+    angle, peak_ok = _ori_and_peaks(gauss, layer, r, c, scl_octv, kp_ok,
+                                    radius_max=radius_ori)
+
+    # flatten [K, P] orientation instances, compact to k_kp for descriptors
+    p = MAX_ORI_PEAKS
+    inst_ok = peak_ok.reshape(-1)
+    inst_idx, sel_ok = _compact(inst_ok, k_kp)
+    src = inst_idx // p
+    s = lambda a: a[src]
+    s_layer, s_scl, s_resp = s(layer), s(scl_octv), s(resp)
+    s_rf = s(r.astype(f32) + xr)
+    s_cf = s(c.astype(f32) + xc)
+    s_li = s(layer.astype(f32) + xi)
+    s_angle = angle.reshape(-1)[inst_idx]
+
+    # stream descriptor chunks to bound the [C, win^2] working set
+    nch = max(k_kp // DESC_CHUNK, 1)
+    ch = lambda a: a.reshape(nch, -1, *a.shape[1:])
+    desc = jax.lax.map(
+        lambda t: _descriptor_chunk(gauss, t[0], t[1], t[2], t[3], t[4],
+                                    t[5], radius_max=radius_desc),
+        (ch(s_layer), ch(s_rf), ch(s_cf), ch(s_scl), ch(s_angle), ch(sel_ok)),
+    ).reshape(k_kp, DESCR_WIDTH * DESCR_WIDTH * DESCR_HIST_BINS)
+
+    return sel_ok, s_cf, s_rf, s_li, s_scl, s_resp, s_angle, desc
+
+
+def radius_caps(sigma: float, n_layers: int) -> Tuple[int, int]:
+    """Static worst-case orientation/descriptor window radii for an octave."""
+    scl_max = sigma * 2.0 ** ((n_layers + 0.5) / n_layers)
+    r_ori = int(round(ORI_RADIUS * scl_max))
+    r_desc = int(round(DESCR_SCL_FCTR * scl_max * math.sqrt(2.0)
+                       * (DESCR_WIDTH + 1) * 0.5))
+    return r_ori, r_desc
+
+
+def detect_and_compute(img: jnp.ndarray, *, n_octave_layers=3,
+                       contrast_threshold=0.04, edge_threshold=10.0,
+                       sigma=1.6):
+    """Run the full SIFT detection on one image; returns a list of per-octave
+    device results (no host syncs).  Each entry:
+    (ok, x, y, layer+xi, scl_octv, response, angle, desc, octave_index)."""
+    h, w = img.shape
+    n_oct = n_octaves_for((h, w))
+    sigmas = tuple(octave_sigmas(sigma, n_octave_layers))
+    r_ori, r_desc = radius_caps(sigma, n_octave_layers)
+
+    base = build_base(jnp.asarray(img, jnp.float32), sigma=sigma)
+    results = []
+    cur = base
+    for o in range(n_oct):
+        hh, ww = cur.shape
+        if min(hh, ww) < 2 * IMG_BORDER + 2:
+            break
+        gauss, dog = build_octave(cur, sigmas=sigmas)
+        k_raw = int(np.clip(3 * hh * ww // 8, 4096, 262144))
+        k_kp = int(np.clip(hh * ww // 32, 2048, 24576))
+        k_kp = -(-k_kp // DESC_CHUNK) * DESC_CHUNK  # lax.map chunking
+        k_raw = min(k_raw, n_octave_layers * hh * ww)
+        out = detect_octave(
+            gauss, dog, n_layers=n_octave_layers,
+            contrast_thr=float(contrast_threshold),
+            edge_thr=float(edge_threshold), sigma=float(sigma),
+            k_raw=k_raw, k_kp=k_kp, radius_ori=r_ori, radius_desc=r_desc)
+        results.append(out + (o,))
+        cur = gauss[n_octave_layers][::2, ::2]
+    return results
+
+
+def gather_keypoints(results):
+    """Host-side assembly: concatenate per-octave device results into numpy
+    keypoint arrays.  Returns (pts [N, 2] in input-image coordinates,
+    desc [N, 128], sizes, angles, responses)."""
+    pts, descs, sizes, angles, resps = [], [], [], [], []
+    for (ok, x, y, li, scl, resp, angle, desc, o) in results:
+        ok = np.asarray(ok)
+        if not ok.any():
+            continue
+        x = np.asarray(x)[ok]
+        y = np.asarray(y)[ok]
+        # octave o of the doubled pyramid maps to input coords * 2^(o-1)
+        f = 2.0 ** (o - 1)
+        pts.append(np.stack([x * f, y * f], -1))
+        descs.append(np.asarray(desc)[ok])
+        sizes.append(np.asarray(scl)[ok] * f * 2.0)
+        angles.append(np.asarray(angle)[ok])
+        resps.append(np.asarray(resp)[ok])
+    if not pts:
+        z = np.zeros((0,), np.float32)
+        return (np.zeros((0, 2), np.float32), np.zeros((0, 128), np.float32),
+                z, z, z)
+    return (np.concatenate(pts).astype(np.float32),
+            np.concatenate(descs).astype(np.float32),
+            np.concatenate(sizes).astype(np.float32),
+            np.concatenate(angles).astype(np.float32),
+            np.concatenate(resps).astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("octaves", "k_total"))
+def compact_octaves(oks, xs, ys, descs, *, octaves, k_total):
+    """Concatenate per-octave results on device and compact the valid
+    keypoints to a fixed k_total (input-image coordinates).  Keeps the whole
+    SIFT stage transfer-free until matching is done."""
+    scale = [jnp.float32(2.0 ** (o - 1)) for o in octaves]
+    x_all = jnp.concatenate([x * s for x, s in zip(xs, scale)])
+    y_all = jnp.concatenate([y * s for y, s in zip(ys, scale)])
+    ok_all = jnp.concatenate(oks)
+    desc_all = jnp.concatenate(descs)
+    idx, ok = _compact(ok_all, k_total)
+    return x_all[idx], y_all[idx], desc_all[idx], ok
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def match_device(ref_desc, ref_ok, tar_desc, tar_ok, ratio, *, chunk=4096):
+    """Exact 2-NN L2 matching with Lowe's ratio test (the reference uses
+    approximate FLANN, oc_sift.cpp:104-130).  Row-chunked so the [C, N2]
+    distance block stays small.  Returns (keep [N1], best_idx [N1])."""
+    n1 = ref_desc.shape[0]
+    tt = jnp.sum(tar_desc * tar_desc, axis=1)[None, :]
+    bad = jnp.float32(3.4e38)
+
+    def one_chunk(args):
+        r, ok = args
+        rr = jnp.sum(r * r, axis=1, keepdims=True)
+        d2 = rr + tt - 2.0 * (r @ tar_desc.T)
+        d2 = jnp.maximum(d2, 0.0)
+        d2 = jnp.where(tar_ok[None, :], d2, bad)
+        neg2, idx2 = jax.lax.top_k(-d2, 2)
+        d_first = jnp.sqrt(-neg2[:, 0])
+        d_second = jnp.sqrt(-neg2[:, 1])
+        keep = ok & (d_first < ratio * d_second)
+        return keep, idx2[:, 0]
+
+    pad = (-n1) % chunk
+    if pad:
+        ref_desc = jnp.pad(ref_desc, ((0, pad), (0, 0)))
+        ref_ok = jnp.pad(ref_ok, (0, pad))
+    nch = max((n1 + pad) // chunk, 1)
+    keep, idx = jax.lax.map(
+        one_chunk,
+        (ref_desc.reshape(nch, -1, ref_desc.shape[1]),
+         ref_ok.reshape(nch, -1)))
+    return keep.reshape(-1)[:n1], idx.reshape(-1)[:n1]
