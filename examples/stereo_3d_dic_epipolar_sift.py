@@ -25,7 +25,11 @@ from opencorr_tpu.data import poi as poi_mod
 
 
 def run(data_dir: str = "/root/reference/examples/3d_dic",
-        out_path: str = "/tmp/GT4-0273_0_epipolar_sift_r16.csv"):
+        out_path: str = "/tmp/GT4-0273_0_epipolar_sift_r16.csv",
+        poi_stride: int = 1, sift_backend=None, sift_features: int = 0):
+    """``poi_stride``: subsample the 9997-POI queue (tests use a stride so
+    the golden gate stays fast); ``sift_backend``: override SIFT2D backend;
+    ``sift_features``: retainBest cap (0 = keep all, like the reference)."""
     ref_view1 = oc.Image2D.load(f"{data_dir}/GT4-0000_0.tif")
     ref_view2 = oc.Image2D.load(f"{data_dir}/GT4-0000_1.tif")
     tar_view1 = oc.Image2D.load(f"{data_dir}/GT4-0273_0.tif")
@@ -33,6 +37,7 @@ def run(data_dir: str = "/root/reference/examples/3d_dic",
 
     pts = np.genfromtxt(f"{data_dir}/GT4-POIs.csv", delimiter=",",
                         skip_header=1, dtype=np.float32)
+    pts = pts[::poi_stride]
 
     # camera parameters (test_3d_dic_epipolar_sift.cpp:58-100)
     view1_intr = oc.CameraIntrinsics(
@@ -58,13 +63,22 @@ def run(data_dir: str = "/root/reference/examples/3d_dic",
     subset_rx = subset_ry = 16
     icgn1 = oc.ICGN2D1(subset_rx, subset_ry, 0.001, 10)
     icgn2 = oc.ICGN2D2(subset_rx, subset_ry, 0.001, 10)
-    sift = oc.SIFT2D()
+    sift = oc.SIFT2D(backend=sift_backend)
+    if sift_features:
+        cfg = sift.sift_config
+        cfg.n_features = int(sift_features)
+        sift.set_sift_config(cfg)
     fa = oc.FeatureAffine2D(subset_rx, subset_ry)
 
     epi = oc.EpipolarSearch(cam1, cam2)
     epi.set_parallax((-30.0, -40.0))
     epi.set_search(30, 5)
-    epi.create_icgn(20, 20, 0.05, 5)
+    # NOTE: the reference example source sets stop_condition=5
+    # (test_3d_dic_epipolar_sift.cpp:67), but a reference-faithful scalar
+    # replay shows ~23% of the GT4 POIs need 6-10 coarse iterations, while
+    # the committed golden table is 100% converged — the golden must have
+    # been produced with a larger budget.  10 reproduces it (PARITY.md).
+    epi.create_icgn(20, 20, 0.05, 10)
 
     timings = {}
 

@@ -134,3 +134,40 @@ def test_strain_vs_golden_eyy_map():
     d = np.abs(eyy - gold_eyy)[sel]
     assert d.mean() < 1e-6, d.mean()
     assert d.max() < 1e-4, d.max()
+
+
+def test_gt4_stereo_pipeline_vs_golden_subsample():
+    """Full GT4 stereo pipeline (epipolar + SIFT + triangulation,
+    test_3d_dic_epipolar_sift.cpp) on a 1/20 POI subsample vs the committed
+    golden table.  SIFT runs on the OpenCV backend here to keep the CPU gate
+    fast — the TPU SIFT backend has its own gates (test_sift2d.py and
+    test_sift_icgn2_vs_gpu_golden_subsample)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "stereo_example",
+        _os.path.join(_os.path.dirname(__file__), "..", "examples",
+                      "stereo_3d_dic_epipolar_sift.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    stride = 20
+    result, _ = mod.run(out_path="/tmp/gt4_test.csv", poi_stride=stride,
+                        sift_backend="opencv", sift_features=20000)
+    gold = np.genfromtxt(
+        "/root/reference/examples/3d_dic/GT4-0273_0_epipolar_sift_r16.csv",
+        delimiter=",", skip_header=1)[::stride]
+    u = np.asarray(result.p)[:, 0]
+    v = np.asarray(result.p)[:, 1]
+    w = np.asarray(result.p)[:, 2]
+    zmin = np.asarray(result.r)[:, 0:3].min(axis=1)
+    gz = gold[:, 5:8].min(axis=1)
+    ok = (zmin > 0.9) & (gz > 0.9)
+    assert ok.mean() > 0.9
+    du = np.abs(u - gold[:, 2])[ok]
+    dv = np.abs(v - gold[:, 3])[ok]
+    dw = np.abs(w - gold[:, 4])[ok]
+    assert du.mean() < 0.01, du.mean()
+    assert dv.mean() < 0.01, dv.mean()
+    assert dw.mean() < 0.01, dw.mean()
