@@ -255,7 +255,98 @@ class SIFT3D:
         return np.concatenate(out_kp, 0), np.concatenate(out_desc, 0)
 
     # ------------------------------------------------------------------
+    def _extract_device(self, vol: jnp.ndarray):
+        """Fully-device feature extraction: extrema compaction, orientation
+        and descriptors all stay on the accelerator with static per-layer
+        keypoint caps; ONE host transfer at the end (the host path instead
+        syncs np.nonzero and gathers windows per layer — fine for small
+        volumes, prohibitive at CT scale)."""
+        cfg = self.sift_config
+        gp = self._gaussian_pyramid(vol)
+        dogs = self._dog_pyramid(gp)
+        lpo_g = cfg.n_octave_layers + 3
+        lpo_d = cfg.n_octave_layers + 2
+
+        staged = []  # (x, y, z, ok, desc, octave, scale) device entries
+        for m in range(cfg.n_octave):
+            for n in range(1, cfg.n_octave_layers + 1):
+                li = m * lpo_d + n
+                g = gp[m * lpo_g + n]
+                voxels = int(np.prod(g.dims))
+                k_e = int(np.clip(voxels // 1024, 2048, 65536))
+                k_e = -(-k_e // 2048) * 2048
+                x, y, z, ok = ops3d.extrema_compact(
+                    dogs[li - 1].vol, dogs[li].vol, dogs[li + 1].vol,
+                    cfg.alpha * dogs[li].max_abs, k_cap=k_e)
+
+                scale = g.scale
+                units = jnp.asarray(np.array(g.units, np.float32))
+                r_cap = (min(g.dims) - 1) // 2
+                r_orient = min(_bucket8(
+                    int(math.ceil(3.0 * 1.5 * scale / g.units[0])) + 1), r_cap)
+                sphere = 2.0 * 5.0 * math.sqrt(2.0) * scale
+                r_desc = min(
+                    _bucket8(int(math.ceil(sphere / g.units[0])) + 1), r_cap)
+
+                chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
+                rot, ok2 = ops3d.orient_keypoints(
+                    g.vol, x, y, z, jnp.float32(scale), units,
+                    jnp.float32(cfg.gradient_threshold),
+                    jnp.float32(cfg.beta), jnp.float32(cfg.gamma),
+                    r=r_orient, chunk=chunk_o)
+                ok = ok & ok2
+
+                # compact survivors so the (much wider) descriptor windows
+                # only run on plausible keypoints
+                k_d = max(k_e // 2, 2048)
+                idx, okd = ops3d.compact_keypoints(ok, k_d)
+                xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
+                chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
+                desc = ops3d.describe_keypoints(
+                    g.vol, xd, yd, zd, rotd, jnp.float32(scale), units,
+                    jnp.float32(cfg.truncate_threshold),
+                    r=r_desc, chunk=chunk_d)
+                staged.append((xd, yd, zd, okd, desc, m, n, scale))
+
+        # single host sync: assemble keypoint/descriptor tables
+        out_kp, out_desc = [], []
+        for (x, y, z, ok, desc, m, n, scale) in staged:
+            okn = np.asarray(ok)
+            if not okn.any():
+                continue
+            f = float(2.0 ** m)
+            coor = np.stack([np.asarray(x)[okn] * f, np.asarray(y)[okn] * f,
+                             np.asarray(z)[okn] * f], axis=1)
+            mn = np.tile(np.array([[m, n]], np.float32), (len(coor), 1))
+            rec = np.concatenate(
+                [coor.astype(np.float32), mn,
+                 np.full((len(coor), 1), scale, np.float32)], axis=1)
+            out_kp.append(rec)
+            out_desc.append(np.asarray(desc)[okn])
+        if not out_kp:
+            return np.zeros((0, 6), np.float32), np.zeros((0, 768), np.float32)
+        return np.concatenate(out_kp, 0), np.concatenate(out_desc, 0)
+
+    # ------------------------------------------------------------------
     def compute(self):
+        if self.pyramid_backend == "device":
+            ref_vol = jnp.asarray(getattr(self.ref_img, "mat", self.ref_img),
+                                  jnp.float32)
+            tar_vol = jnp.asarray(getattr(self.tar_img, "mat", self.tar_img),
+                                  jnp.float32)
+            ref_kp, ref_desc = self._extract_device(ref_vol)
+            tar_kp, tar_desc = self._extract_device(tar_vol)
+            self.ref_kp_count = len(ref_kp)
+            self.tar_kp_count = len(tar_kp)
+            if self.match_mode == "bi":
+                mk1, mk2 = _bidirectional_match(
+                    ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+            else:
+                mk1, mk2 = _monodirectional_match(
+                    ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+            self.ref_matched_kp = mk1
+            self.tar_matched_kp = mk2
+            return
         if self.pyramid_backend == "host":
             ref_vol = np.asarray(getattr(self.ref_img, "mat", self.ref_img),
                                  np.float32)

@@ -466,3 +466,91 @@ def construct_descriptor(
     desc = jnp.minimum(desc, truncate)
     desc = desc / (jnp.sqrt(jnp.sum(desc * desc, -1, keepdims=True)) + eps)
     return desc
+
+
+# --- fully-device per-layer pipeline (no host syncs between layers) ---------
+
+def _pow2_chunk(k_cap: int, s: int, budget_bytes: int = 1 << 29) -> int:
+    """Largest power-of-2 chunk with ~12 live [chunk, s^3] f32 buffers under
+    the budget; k_cap (a power-of-2 multiple of 2048) stays divisible."""
+    c = max(budget_bytes // (s ** 3 * 4 * 12), 8)
+    p = 1 << (c.bit_length() - 1)
+    return int(min(p, 2048, k_cap))
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def extrema_compact(dog_prev, dog_cur, dog_next, alpha_max_abs, *, k_cap):
+    """Extremum mask -> first k_cap candidate coordinates in scan order
+    (replaces the host np.nonzero sync of the host path)."""
+    from .sift2d import _compact
+
+    mask = extrema_mask(dog_prev, dog_cur, dog_next, alpha_max_abs)
+    idx, ok = _compact(mask.reshape(-1), k_cap)
+    dz, dy, dx = dog_cur.shape
+    z = (idx // (dy * dx)).astype(jnp.int32)
+    rem = idx % (dy * dx)
+    y = (rem // dx).astype(jnp.int32)
+    x = (rem % dx).astype(jnp.int32)
+    return x, y, z, ok
+
+
+def _gather_windows_3d(vol, xi, yi, zi, r):
+    """[C, s, s, s] windows with edge-clamped starts (host-path semantics)."""
+    s = 2 * r + 1
+    dz, dy, dx = vol.shape
+    x0 = jnp.clip(xi - r, 0, dx - s)
+    y0 = jnp.clip(yi - r, 0, dy - s)
+    z0 = jnp.clip(zi - r, 0, dz - s)
+
+    def one(z, y, x):
+        return jax.lax.dynamic_slice(vol, (z, y, x), (s, s, s))
+
+    return jax.vmap(one)(z0, y0, x0), x0, y0, z0
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+def orient_keypoints(vol, xi, yi, zi, scale, units, grad_threshold, beta,
+                     gamma, *, r, chunk):
+    """Device window gather + assign_orientation, streamed in lax.map chunks.
+    Returns (rot [K, 3, 3], ok [K])."""
+    dz, dy, dx = vol.shape
+    dims = jnp.array([dx, dy, dz], jnp.int32)
+    nch = max(xi.shape[0] // chunk, 1)
+    ch = lambda a: a.reshape(nch, -1)
+
+    def body(args):
+        xc, yc, zc = args
+        win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
+        return assign_orientation(win, x0, y0, z0, xc, yc, zc, dims,
+                                  scale, units, grad_threshold, beta, gamma)
+
+    rot, ok = jax.lax.map(body, (ch(xi), ch(yi), ch(zi)))
+    return rot.reshape(-1, 3, 3), ok.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+def describe_keypoints(vol, xi, yi, zi, rot, scale, units, truncate, *,
+                       r, chunk):
+    """Device window gather + construct_descriptor, streamed in chunks.
+    Returns desc [K, 768]."""
+    dz, dy, dx = vol.shape
+    dims = jnp.array([dx, dy, dz], jnp.int32)
+    nch = max(xi.shape[0] // chunk, 1)
+    ch = lambda a: a.reshape(nch, -1, *a.shape[1:])
+
+    def body(args):
+        xc, yc, zc, rc = args
+        win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
+        return construct_descriptor(win, x0, y0, z0, xc, yc, zc, dims, rc,
+                                    scale, units, truncate)
+
+    desc = jax.lax.map(body, (ch(xi), ch(yi), ch(zi), ch(rot)))
+    return desc.reshape(-1, 768)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def compact_keypoints(ok, k_cap):
+    """Scan-order compaction of a validity mask: (idx [k_cap], ok [k_cap])."""
+    from .sift2d import _compact
+
+    return _compact(ok, k_cap)
