@@ -273,8 +273,8 @@ class SIFT3D:
                 li = m * lpo_d + n
                 g = gp[m * lpo_g + n]
                 voxels = int(np.prod(g.dims))
-                k_e = int(np.clip(voxels // 1024, 2048, 65536))
-                k_e = -(-k_e // 2048) * 2048
+                k_e = int(np.clip(voxels // 1024, 256, 65536))
+                k_e = 1 << (k_e - 1).bit_length()  # pow2: lax.map chunking
                 x, y, z, ok = ops3d.extrema_compact(
                     dogs[li - 1].vol, dogs[li].vol, dogs[li + 1].vol,
                     cfg.alpha * dogs[li].max_abs, k_cap=k_e)
@@ -298,7 +298,7 @@ class SIFT3D:
 
                 # compact survivors so the (much wider) descriptor windows
                 # only run on plausible keypoints
-                k_d = max(k_e // 2, 2048)
+                k_d = max(k_e // 2, 256)
                 idx, okd = ops3d.compact_keypoints(ok, k_d)
                 xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
                 chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)

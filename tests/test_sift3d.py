@@ -27,3 +27,96 @@ def test_sift3d_integer_shift():
     assert abs(med[0] - 1.0) <= 1.0
     assert abs(med[1] + 3.0) <= 1.0
     assert abs(med[2] - 2.0) <= 1.0
+
+
+def _pair(D=48, seed=2, shift=(2.0, -1.0, 1.5)):
+    rng = np.random.default_rng(seed)
+    base = gaussian_filter(
+        rng.standard_normal((D + 20,) * 3).astype(np.float32), 1.5) * 50 + 128
+    ref = base[10 : 10 + D, 10 : 10 + D, 10 : 10 + D]
+    tar = ndshift(base, shift, order=3)[10 : 10 + D, 10 : 10 + D, 10 : 10 + D]
+    return ref, tar
+
+
+def test_device_path_matches_host_path():
+    """pyramid_backend="device" (the CT-scale path: on-device extrema
+    compaction + window gathers, no per-layer host syncs) must reproduce the
+    host path's keypoints and matches exactly."""
+    ref, tar = _pair()
+    outs = {}
+    for backend in ("host", "device"):
+        s = oc.SIFT3D(pyramid_backend=backend)
+        s.set_images(ref, tar)
+        s.compute()
+        outs[backend] = (s.ref_kp_count, s.tar_kp_count,
+                         np.round(s.ref_matched_kp, 3),
+                         np.round(s.tar_matched_kp, 3))
+    assert outs["host"][0] == outs["device"][0]
+    assert outs["host"][1] == outs["device"][1]
+    hs = set(map(tuple, outs["host"][2].tolist()))
+    ds = set(map(tuple, outs["device"][2].tolist()))
+    assert hs == ds
+
+
+def test_orientation_rejection_beta_gamma():
+    """assign_orientation must reject keypoints whose structure-tensor
+    eigenvalues are ambiguous (beta) or whose gradient is nearly orthogonal
+    to the leading eigenvectors (gamma) — oc_sift.cpp:965-1013."""
+    import jax.numpy as jnp
+    from opencorr_tpu.ops import sift3d as ops3d
+
+    rng = np.random.default_rng(0)
+    s = 17
+    r = (s - 1) // 2
+    # isotropic random texture -> lambda1 ~= lambda2 -> beta rejection likely
+    iso = rng.standard_normal((s, s, s)).astype(np.float32)
+    # strongly anisotropic texture: a ramp along x with x-dependent modulation
+    zz, yy, xx = np.meshgrid(*([np.arange(s, dtype=np.float32)] * 3),
+                             indexing="ij")
+    aniso = (np.sin(xx * 0.9) * 40 + np.sin(yy * 0.31) * 9
+             + np.sin(zz * 0.17) * 3).astype(np.float32)
+    wins = jnp.asarray(np.stack([iso, aniso]))
+    c = jnp.asarray(np.array([r, r], np.int32))
+    dims = jnp.asarray(np.array([s, s, s], np.int32))
+    z0 = jnp.asarray(np.zeros(2, np.int32))
+    rot, ok = ops3d.assign_orientation(
+        wins, z0, z0, z0, c, c, c, dims,
+        jnp.float32(1.6), jnp.asarray(np.ones(3, np.float32)),
+        jnp.float32(1e-10), jnp.float32(0.9), jnp.float32(0.4))
+    okn = np.asarray(ok)
+    rotn = np.asarray(rot)
+    assert not okn[0]  # isotropic window rejected
+    assert okn[1]
+    # accepted rotation must be orthonormal with det +1
+    rr = rotn[1]
+    np.testing.assert_allclose(rr @ rr.T, np.eye(3), atol=1e-4)
+    assert np.linalg.det(rr) > 0.9
+
+
+def test_bidirectional_vs_mono_many_to_one():
+    """With duplicated target descriptors creating many-to-one candidates,
+    monodirectional matching (with its second ratio test) must drop the
+    ambiguous pairs, and bidirectional must keep only mutual best matches
+    (oc_sift.cpp:1251-1489)."""
+    from opencorr_tpu.models.sift3d import (_bidirectional_match,
+                                            _monodirectional_match)
+
+    rng = np.random.default_rng(1)
+    n = 12
+    desc = rng.uniform(0.1, 1.0, (n, 768)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    kp1 = np.arange(n * 3, dtype=np.float32).reshape(n, 3)
+    # two refs share the same best target (index 0) at equal distance ->
+    # ambiguous; the rest map one-to-one
+    desc1 = desc.copy()
+    desc1[1] = desc[0]  # ref 0 and ref 1 both look like target 0
+    mk1, mk2 = _monodirectional_match(kp1, desc1, kp1, desc, 0.85)
+    # ambiguous refs 0/1 must not BOTH claim target 0
+    tset = [tuple(t) for t in mk2.tolist()]
+    assert tset.count(tuple(kp1[0].tolist())) <= 1
+    b1, b2 = _bidirectional_match(kp1, desc1, kp1, desc, 0.85)
+    bset = [tuple(t) for t in b2.tolist()]
+    assert bset.count(tuple(kp1[0].tolist())) <= 1
+    # the unambiguous pairs survive in both modes
+    assert len(mk1) >= n - 3
+    assert len(b1) >= n - 4
