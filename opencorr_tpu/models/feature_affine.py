@@ -22,10 +22,24 @@ import jax
     jax.jit, static_argnames=("k_cap", "trials", "samples", "knn_only"))
 def _fa2d_full(ref_kp, tar_kp, t, radius, nmin, thr, seed, knn_k,
                *, k_cap, trials, samples, knn_only=False):
-    p6, zncc, it, feat, ok = fa_ops.feature_affine_2d(
+    out = fa_ops.feature_affine_2d(
         ref_kp, tar_kp, t.x, t.y, t.r[:, poi_mod.R_ZNCC],
         radius, nmin, thr, seed, knn_k,
         k_cap=k_cap, trials=trials, samples=samples, knn_only=knn_only)
+    return _merge_2d(t, out)
+
+
+@functools.partial(jax.jit, static_argnames=("trials", "samples"))
+def _fa2d_idx_full(ref_kp, tar_kp, t, idx, cand_mask, enough,
+                   nmin, thr, seed, *, trials, samples):
+    out = fa_ops.feature_affine_2d_idx(
+        ref_kp, tar_kp, t.x, t.y, idx, cand_mask, enough,
+        nmin, thr, seed, trials=trials, samples=samples)
+    return _merge_2d(t, out)
+
+
+def _merge_2d(t, out):
+    p6, zncc, it, feat, ok = out
     p = t.p
     for src, dst in enumerate([0, 1, 2, 6, 7, 8]):
         p = p.at[:, dst].set(jnp.where(ok, p6[:, src], p[:, dst]))
@@ -39,16 +53,49 @@ def _fa2d_full(ref_kp, tar_kp, t, radius, nmin, thr, seed, knn_k,
 @functools.partial(jax.jit, static_argnames=("k_cap", "trials", "samples"))
 def _fa3d_full(ref_kp, tar_kp, t, radius, nmin, thr, seed,
                *, k_cap, trials, samples):
-    p12, zncc, it, feat, ok = fa_ops.feature_affine_3d(
+    out = fa_ops.feature_affine_3d(
         ref_kp, tar_kp, t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC],
         radius, nmin, thr, seed,
         k_cap=k_cap, trials=trials, samples=samples)
+    return _merge_3d(t, out)
+
+
+@functools.partial(jax.jit, static_argnames=("trials", "samples"))
+def _fa3d_idx_full(ref_kp, tar_kp, t, idx, cand_mask, enough,
+                   nmin, thr, seed, *, trials, samples):
+    out = fa_ops.feature_affine_3d_idx(
+        ref_kp, tar_kp, t.x, t.y, t.z, idx, cand_mask, enough,
+        nmin, thr, seed, trials=trials, samples=samples)
+    return _merge_3d(t, out)
+
+
+def _merge_3d(t, out):
+    p12, zncc, it, feat, ok = out
     p = jnp.where(ok[:, None], p12, t.p)
     r = t.r
     r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
     r = r.at[:, poi_mod.R3_ITER].set(jnp.where(ok, it, r[:, poi_mod.R3_ITER]))
     r = r.at[:, poi_mod.R3_FEAT].set(jnp.where(ok, feat, r[:, poi_mod.R3_FEAT]))
     return t.replace(p=p, r=r)
+
+
+def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
+    """Host k-d tree candidate stage mirroring the device kernel's semantics
+    (and the reference's nanoflann radius search with KNN fallback,
+    oc_feature_affine.cpp:182-222): per query point, the ``kc`` nearest
+    keypoints ascending by distance; candidates are the in-radius ones when
+    their count reaches ``neighbor_min``, else the nearest ``neighbor_min``.
+    Returns (idx[N, kc] int32, cand_mask[N, kc] bool, enough[N] bool)."""
+    d, idx = tree.query(q, k=kc)
+    if kc == 1:
+        d, idx = d[:, None], idx[:, None]
+    in_r = d < radius  # strict <, matching d2 < r*r in the device kernel
+    nr = in_r.sum(1)
+    pos = np.arange(kc)[None, :]
+    cand_mask = np.where((nr >= neighbor_min)[:, None], in_r,
+                         pos < neighbor_min)
+    enough = nr >= samples
+    return (idx.astype(np.int32), cand_mask, enough)
 
 
 @dataclasses.dataclass
@@ -65,7 +112,8 @@ class FeatureAffine2D(base.Module2D):
     (oc_feature_affine.cpp:118-342). Defaults per ctor (:34-47)."""
 
     def __init__(self, radius_x: int, radius_y: int, k_cap: int = 128,
-                 seed: int = 0, chunk_size: Optional[int] = 16384):
+                 seed: int = 0, chunk_size: Optional[int] = 16384,
+                 neighbor_backend: str = "host"):
         super().__init__(radius_x, radius_y)
         self.neighbor_search_radius = float(np.sqrt(radius_x**2 + radius_y**2))
         self.neighbor_number_min = 7
@@ -76,8 +124,12 @@ class FeatureAffine2D(base.Module2D):
         self.k_cap = int(k_cap)
         self.seed = int(seed)
         self.chunk_size = chunk_size
+        # "host": scipy cKDTree candidate stage (mirrors the reference's CPU
+        # nanoflann, O(N log M)); "device": the all-pairs distance kernel.
+        self.neighbor_backend = neighbor_backend
         self.ref_kp: Optional[np.ndarray] = None
         self.tar_kp: Optional[np.ndarray] = None
+        self._tree = None
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -93,9 +145,15 @@ class FeatureAffine2D(base.Module2D):
     def set_keypoint_pair(self, ref_kp, tar_kp):
         self.ref_kp = np.asarray(ref_kp, np.float32).reshape(-1, 2)
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 2)
+        self._tree = None
 
     def prepare(self):
-        pass  # neighbor search runs on device inside compute
+        """Build the keypoint k-d tree (reference: prepare() builds the
+        nanoflann index, oc_feature_affine.cpp:112-116)."""
+        if self.neighbor_backend == "host" and self.ref_kp is not None:
+            from scipy.spatial import cKDTree
+
+            self._tree = cKDTree(self.ref_kp)
 
     def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         if self.ref_kp is None:
@@ -108,12 +166,29 @@ class FeatureAffine2D(base.Module2D):
         nmin = jnp.float32(self.neighbor_number_min)
         thr = jnp.float32(self.ransac.error_threshold)
         seed = jnp.int32(self.seed)
+        tr, sm = self.ransac.trial_number, self.ransac.sample_number
+
+        if self.neighbor_backend == "host":
+            if self._tree is None:
+                self.prepare()
+            kc = min(self.k_cap, len(self.ref_kp))
+            q = np.stack([np.asarray(table.x), np.asarray(table.y)], axis=-1)
+            idx, cand, enough = _host_candidates(
+                self._tree, q, kc, self.neighbor_search_radius,
+                self.neighbor_number_min, sm)
+
+            def run_i(t, idx_c, cand_c, en_c):
+                return _fa2d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
+                                      nmin, thr, seed, trials=tr, samples=sm)
+
+            return base.chunked(run_i, table, self.chunk_size,
+                                jnp.asarray(idx), jnp.asarray(cand),
+                                jnp.asarray(enough))
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             return _fa2d_full(
                 ref_kp, tar_kp, t, radius, nmin, thr, seed, jnp.float32(0.0),
-                k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number)
+                k_cap=self.k_cap, trials=tr, samples=sm)
 
         return base.chunked(run, table, self.chunk_size)
 
@@ -130,9 +205,15 @@ class FeatureAffine2D(base.Module2D):
         ys = np.asarray(table.y).copy()
         n = table.n
         k = min(self.subset_feature_min, len(self.ref_kp))
-        d2 = (xs[:, None] - self.ref_kp[None, :, 0]) ** 2 + (
-            ys[:, None] - self.ref_kp[None, :, 1]) ** 2
-        knn_idx = np.argsort(d2, axis=1)[:, :k]
+        if self._tree is None:
+            self.prepare()
+        if self._tree is not None:
+            _, knn_idx = self._tree.query(np.stack([xs, ys], -1), k=k)
+            knn_idx = knn_idx.reshape(n, k)
+        else:
+            d2 = (xs[:, None] - self.ref_kp[None, :, 0]) ** 2 + (
+                ys[:, None] - self.ref_kp[None, :, 1]) ** 2
+            knn_idx = np.argsort(d2, axis=1)[:, :k]
         kx = self.ref_kp[knn_idx, 0]  # [N, k]
         ky = self.ref_kp[knn_idx, 1]
         x_min, x_max = kx.min(1), kx.max(1)
@@ -160,19 +241,32 @@ class FeatureAffine2D(base.Module2D):
             sr=jnp.asarray(np.stack([srx, sry], -1), jnp.float32),
         )
 
-        # RANSAC over exactly the KNN candidate sets (knn_only kernel mode).
+        # RANSAC over exactly the KNN candidate sets
+        # (oc_feature_affine.cpp:139-151).
         ref_kp = jnp.asarray(self.ref_kp)
         tar_kp = jnp.asarray(self.tar_kp)
         nmin = jnp.float32(self.neighbor_number_min)
         thr = jnp.float32(self.ransac.error_threshold)
         seed = jnp.int32(self.seed)
+        tr, sm = self.ransac.trial_number, self.ransac.sample_number
+
+        if self._tree is not None:
+            idx = jnp.asarray(knn_idx.astype(np.int32))
+            cand = jnp.ones((n, k), bool)
+            enough = jnp.full((n,), k >= sm)
+
+            def run_i(tc, idx_c, cand_c, en_c):
+                return _fa2d_idx_full(ref_kp, tar_kp, tc, idx_c, cand_c, en_c,
+                                      nmin, thr, seed, trials=tr, samples=sm)
+
+            return base.chunked(run_i, t, self.chunk_size, idx, cand, enough)
+
         knn_k = jnp.float32(k)
 
         def run(tc: poi_mod.POITable2D) -> poi_mod.POITable2D:
             return _fa2d_full(
                 ref_kp, tar_kp, tc, jnp.float32(0.0), nmin, thr, seed, knn_k,
-                k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number, knn_only=True)
+                k_cap=self.k_cap, trials=tr, samples=sm, knn_only=True)
 
         return base.chunked(run, t, self.chunk_size)
 
@@ -182,7 +276,8 @@ class FeatureAffine3D:
 
     def __init__(self, radius_x: int, radius_y: int, radius_z: int,
                  k_cap: int = 128, seed: int = 0,
-                 chunk_size: Optional[int] = 8192):
+                 chunk_size: Optional[int] = 8192,
+                 neighbor_backend: str = "host"):
         self.neighbor_search_radius = float(
             np.sqrt(radius_x**2 + radius_y**2 + radius_z**2))
         self.neighbor_number_min = 16
@@ -191,8 +286,10 @@ class FeatureAffine3D:
         self.k_cap = int(k_cap)
         self.seed = int(seed)
         self.chunk_size = chunk_size
+        self.neighbor_backend = neighbor_backend
         self.ref_kp: Optional[np.ndarray] = None
         self.tar_kp: Optional[np.ndarray] = None
+        self._tree = None
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -204,9 +301,13 @@ class FeatureAffine3D:
     def set_keypoint_pair(self, ref_kp, tar_kp):
         self.ref_kp = np.asarray(ref_kp, np.float32).reshape(-1, 3)
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 3)
+        self._tree = None
 
     def prepare(self):
-        pass
+        if self.neighbor_backend == "host" and self.ref_kp is not None:
+            from scipy.spatial import cKDTree
+
+            self._tree = cKDTree(self.ref_kp)
 
     def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         if self.ref_kp is None:
@@ -217,11 +318,29 @@ class FeatureAffine3D:
         nmin = jnp.float32(self.neighbor_number_min)
         thr = jnp.float32(self.ransac.error_threshold)
         seed = jnp.int32(self.seed)
+        tr, sm = self.ransac.trial_number, self.ransac.sample_number
+
+        if self.neighbor_backend == "host":
+            if self._tree is None:
+                self.prepare()
+            kc = min(self.k_cap, len(self.ref_kp))
+            q = np.stack([np.asarray(table.x), np.asarray(table.y),
+                          np.asarray(table.z)], axis=-1)
+            idx, cand, enough = _host_candidates(
+                self._tree, q, kc, self.neighbor_search_radius,
+                self.neighbor_number_min, sm)
+
+            def run_i(t, idx_c, cand_c, en_c):
+                return _fa3d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
+                                      nmin, thr, seed, trials=tr, samples=sm)
+
+            return base.chunked(run_i, table, self.chunk_size,
+                                jnp.asarray(idx), jnp.asarray(cand),
+                                jnp.asarray(enough))
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
             return _fa3d_full(
                 ref_kp, tar_kp, t, radius, nmin, thr, seed,
-                k_cap=self.k_cap, trials=self.ransac.trial_number,
-                samples=self.ransac.sample_number)
+                k_cap=self.k_cap, trials=tr, samples=sm)
 
         return base.chunked(run, table, self.chunk_size)

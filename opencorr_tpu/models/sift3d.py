@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
+import sys
 from typing import List, Optional
 
 import jax
@@ -69,6 +71,11 @@ class SIFT3D:
         self.ref_matched_kp: Optional[np.ndarray] = None  # [K, 3] (x, y, z)
         self.tar_matched_kp: Optional[np.ndarray] = None
         self.kp_chunk_budget = int(kp_chunk_budget_bytes)
+        self.verbose = os.environ.get("OPENCORR_SIFT3D_PROGRESS") == "1"
+
+    def _progress(self, msg: str) -> None:
+        if self.verbose:
+            print(f"[sift3d] {msg}", file=sys.stderr, flush=True)
 
     def set_sift_config(self, cfg: Sift3dConfig):
         self.sift_config = cfg
@@ -91,10 +98,11 @@ class SIFT3D:
         self.tar_matched_kp = None
 
     # ------------------------------------------------------------------
-    def _gaussian_pyramid(self, vol: jnp.ndarray) -> List[_Layer]:
-        """createGaussianPyramid (oc_sift.cpp:676-754)."""
+    def _plan_layers(self, vol_shape) -> List[_Layer]:
+        """Layer schedule (dims/units/scale/sigma) of createGaussianPyramid
+        (oc_sift.cpp:676-754) without materializing any volume."""
         cfg = self.sift_config
-        dz, dy, dx = vol.shape
+        dz, dy, dx = vol_shape
         dim_min = min(dx, dy, dz)
         cfg.n_octave = max(
             int(math.floor(math.log2(dim_min) - math.log2(cfg.min_dimension))) + 1,
@@ -127,6 +135,13 @@ class SIFT3D:
                 sigma = math.sqrt(kappa * kappa - 1.0) * layers[lin - 1].scale
             layers.append(_Layer(None, (z_len, y_len, x_len), (ux, uy, uz),
                                  octave, scale, sigma))
+        return layers
+
+    def _gaussian_pyramid(self, vol: jnp.ndarray) -> List[_Layer]:
+        """createGaussianPyramid (oc_sift.cpp:676-754)."""
+        cfg = self.sift_config
+        layers = self._plan_layers(vol.shape)
+        lpo = cfg.n_octave_layers + 3
 
         if self.pyramid_backend == "host":
             blur = _host_gaussian_blur
@@ -262,22 +277,45 @@ class SIFT3D:
         syncs np.nonzero and gathers windows per layer — fine for small
         volumes, prohibitive at CT scale)."""
         cfg = self.sift_config
-        gp = self._gaussian_pyramid(vol)
-        dogs = self._dog_pyramid(gp)
+        layers = self._plan_layers(vol.shape)
         lpo_g = cfg.n_octave_layers + 3
-        lpo_d = cfg.n_octave_layers + 2
 
-        staged = []  # (x, y, z, ok, desc, octave, scale) device entries
+        # Octave-streamed: only ONE octave's Gaussian + DoG stack is live in
+        # HBM at a time (at CT scale the full pyramid is ~8 GB and queuing
+        # every octave's programs asynchronously crashed the v5e worker).
+        # block_until_ready per octave is safe — it is not a device->host
+        # transfer (CLAUDE.md) — and lets buffers free before the next
+        # octave's programs run.
+        staged = []  # (x, y, z, ok, desc, octave, layer, scale) device entries
+        seed = vol
         for m in range(cfg.n_octave):
+            base = m * lpo_g
+            g_vols: List[jnp.ndarray] = []
+            for n in range(lpo_g):
+                lay = layers[base + n]
+                if n == 0:
+                    if m == 0:
+                        v = ops3d.gaussian_blur(seed, lay.sigma, lay.units)
+                    else:
+                        dz_, dy_, dx_ = lay.dims
+                        v = seed[: 2 * dz_ : 2, : 2 * dy_ : 2, : 2 * dx_ : 2]
+                else:
+                    v = ops3d.gaussian_blur(g_vols[n - 1], lay.sigma,
+                                            lay.units)
+                g_vols.append(v)
+            seed = g_vols[cfg.n_octave_layers]  # next octave's source
+
+            dog = [ops3d.dog_layer(g_vols[n + 1], g_vols[n])
+                   for n in range(lpo_g - 1)]
+
             for n in range(1, cfg.n_octave_layers + 1):
-                li = m * lpo_d + n
-                g = gp[m * lpo_g + n]
+                g = layers[base + n]
                 voxels = int(np.prod(g.dims))
                 k_e = int(np.clip(voxels // 1024, 256, 65536))
                 k_e = 1 << (k_e - 1).bit_length()  # pow2: lax.map chunking
                 x, y, z, ok = ops3d.extrema_compact(
-                    dogs[li - 1].vol, dogs[li].vol, dogs[li + 1].vol,
-                    cfg.alpha * dogs[li].max_abs, k_cap=k_e)
+                    dog[n - 1][0], dog[n][0], dog[n + 1][0],
+                    cfg.alpha * dog[n][1], k_cap=k_e)
 
                 scale = g.scale
                 units = jnp.asarray(np.array(g.units, np.float32))
@@ -290,7 +328,7 @@ class SIFT3D:
 
                 chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
                 rot, ok2 = ops3d.orient_keypoints(
-                    g.vol, x, y, z, jnp.float32(scale), units,
+                    g_vols[n], x, y, z, jnp.float32(scale), units,
                     jnp.float32(cfg.gradient_threshold),
                     jnp.float32(cfg.beta), jnp.float32(cfg.gamma),
                     r=r_orient, chunk=chunk_o)
@@ -303,10 +341,19 @@ class SIFT3D:
                 xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
                 chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
                 desc = ops3d.describe_keypoints(
-                    g.vol, xd, yd, zd, rotd, jnp.float32(scale), units,
+                    g_vols[n], xd, yd, zd, rotd, jnp.float32(scale), units,
                     jnp.float32(cfg.truncate_threshold),
                     r=r_desc, chunk=chunk_d)
                 staged.append((xd, yd, zd, okd, desc, m, n, scale))
+                self._progress(f"octave {m} layer {n}: programs queued "
+                               f"(k_e={k_e}, r_o={r_orient}, r_d={r_desc})")
+
+            # drain this octave (desc is the terminal consumer of g_vols)
+            # before building the next one's pyramid
+            jax.block_until_ready([(s[3], s[4]) for s in
+                                   staged[-cfg.n_octave_layers:]])
+            del g_vols, dog
+            self._progress(f"octave {m} done ({layers[base].dims})")
 
         # single host sync: assemble keypoint/descriptor tables
         out_kp, out_desc = [], []

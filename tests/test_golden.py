@@ -29,11 +29,13 @@ def test_fftcc_icgn1_vs_golden_subsample():
     f = oc.FFTCC2D(16, 16)
     f.set_images(ref, tar)
     pois = f.compute(pois)
-    # >=90% of integer guesses match the golden u0/v0 exactly (the rest are
-    # +-1 px correlation-peak ties).
+    # Integer guesses match the golden u0/v0 exactly except for exact
+    # correlation-peak ties (2/30000 on the full grid, where FFTW's last-bit
+    # rounding picks the other bin; argmax tie-break itself matches the
+    # reference's first-max-in-scan-order, oc_fftcc.cpp:246-255).
     u0 = np.asarray(pois.u)
     v0 = np.asarray(pois.v)
-    assert ((u0 == g[:, 4]) & (v0 == g[:, 5])).mean() > 0.9
+    assert ((u0 == g[:, 4]) & (v0 == g[:, 5])).mean() > 0.995
 
     icgn = oc.ICGN2D1(16, 16, 0.001, 10)
     icgn.set_images(ref, tar)
