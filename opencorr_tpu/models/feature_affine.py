@@ -79,6 +79,31 @@ def _merge_3d(t, out):
     return t.replace(p=p, r=r)
 
 
+class _CandidateCache:
+    """Memoize host-precomputed candidate tables on the POI coordinate buffer
+    identity (same pattern as ``Strain._cached``): steady-state ``compute()``
+    calls on one queue do no host work and no device->host transfers."""
+
+    def __init__(self, cap: int = 8):
+        self._entries = []  # [(weakref(x), params, data)]
+        self._cap = cap
+
+    def get(self, xobj, params, build):
+        import weakref
+
+        for ref, p, data in self._entries:
+            if p == params and ref() is xobj:
+                return data
+        data = build()
+        self._entries.append((weakref.ref(xobj), params, data))
+        if len(self._entries) > self._cap:
+            self._entries.pop(0)
+        return data
+
+    def clear(self):
+        self._entries = []
+
+
 def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
     """Host k-d tree candidate stage mirroring the device kernel's semantics
     (and the reference's nanoflann radius search with KNN fallback,
@@ -130,6 +155,7 @@ class FeatureAffine2D(base.Module2D):
         self.ref_kp: Optional[np.ndarray] = None
         self.tar_kp: Optional[np.ndarray] = None
         self._tree = None
+        self._cand = _CandidateCache()
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -146,14 +172,38 @@ class FeatureAffine2D(base.Module2D):
         self.ref_kp = np.asarray(ref_kp, np.float32).reshape(-1, 2)
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 2)
         self._tree = None
+        self._cand.clear()
 
-    def prepare(self):
+    def prepare(self, table=None, points=None):
         """Build the keypoint k-d tree (reference: prepare() builds the
-        nanoflann index, oc_feature_affine.cpp:112-116)."""
+        nanoflann index, oc_feature_affine.cpp:112-116).  Optionally
+        precompute the candidate tables for ``table`` — pass ``points``
+        ([N, 2] host coordinates matching the table) to avoid reading back
+        device buffers (same contract as ``Strain.prepare``)."""
         if self.neighbor_backend == "host" and self.ref_kp is not None:
             from scipy.spatial import cKDTree
 
             self._tree = cKDTree(self.ref_kp)
+            if table is not None:
+                self._candidates(table, points)
+
+    def _candidates(self, table, points=None):
+        kc = min(self.k_cap, len(self.ref_kp))
+        sm = self.ransac.sample_number
+        params = (kc, self.neighbor_search_radius, self.neighbor_number_min,
+                  sm)
+
+        def build():
+            if points is not None:
+                q = np.asarray(points, np.float64).reshape(-1, 2)
+            else:
+                q = np.stack([np.asarray(table.x), np.asarray(table.y)], -1)
+            idx, cand, enough = _host_candidates(
+                self._tree, q, kc, self.neighbor_search_radius,
+                self.neighbor_number_min, sm)
+            return (jnp.asarray(idx), jnp.asarray(cand), jnp.asarray(enough))
+
+        return self._cand.get(table.x, params, build)
 
     def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         if self.ref_kp is None:
@@ -171,19 +221,14 @@ class FeatureAffine2D(base.Module2D):
         if self.neighbor_backend == "host":
             if self._tree is None:
                 self.prepare()
-            kc = min(self.k_cap, len(self.ref_kp))
-            q = np.stack([np.asarray(table.x), np.asarray(table.y)], axis=-1)
-            idx, cand, enough = _host_candidates(
-                self._tree, q, kc, self.neighbor_search_radius,
-                self.neighbor_number_min, sm)
+            idx, cand, enough = self._candidates(table)
 
             def run_i(t, idx_c, cand_c, en_c):
                 return _fa2d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
                                       nmin, thr, seed, trials=tr, samples=sm)
 
             return base.chunked(run_i, table, self.chunk_size,
-                                jnp.asarray(idx), jnp.asarray(cand),
-                                jnp.asarray(enough))
+                                idx, cand, enough)
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             return _fa2d_full(
@@ -290,6 +335,7 @@ class FeatureAffine3D:
         self.ref_kp: Optional[np.ndarray] = None
         self.tar_kp: Optional[np.ndarray] = None
         self._tree = None
+        self._cand = _CandidateCache()
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -302,12 +348,34 @@ class FeatureAffine3D:
         self.ref_kp = np.asarray(ref_kp, np.float32).reshape(-1, 3)
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 3)
         self._tree = None
+        self._cand.clear()
 
-    def prepare(self):
+    def prepare(self, table=None, points=None):
         if self.neighbor_backend == "host" and self.ref_kp is not None:
             from scipy.spatial import cKDTree
 
             self._tree = cKDTree(self.ref_kp)
+            if table is not None:
+                self._candidates(table, points)
+
+    def _candidates(self, table, points=None):
+        kc = min(self.k_cap, len(self.ref_kp))
+        sm = self.ransac.sample_number
+        params = (kc, self.neighbor_search_radius, self.neighbor_number_min,
+                  sm)
+
+        def build():
+            if points is not None:
+                q = np.asarray(points, np.float64).reshape(-1, 3)
+            else:
+                q = np.stack([np.asarray(table.x), np.asarray(table.y),
+                              np.asarray(table.z)], -1)
+            idx, cand, enough = _host_candidates(
+                self._tree, q, kc, self.neighbor_search_radius,
+                self.neighbor_number_min, sm)
+            return (jnp.asarray(idx), jnp.asarray(cand), jnp.asarray(enough))
+
+        return self._cand.get(table.x, params, build)
 
     def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         if self.ref_kp is None:
@@ -323,20 +391,14 @@ class FeatureAffine3D:
         if self.neighbor_backend == "host":
             if self._tree is None:
                 self.prepare()
-            kc = min(self.k_cap, len(self.ref_kp))
-            q = np.stack([np.asarray(table.x), np.asarray(table.y),
-                          np.asarray(table.z)], axis=-1)
-            idx, cand, enough = _host_candidates(
-                self._tree, q, kc, self.neighbor_search_radius,
-                self.neighbor_number_min, sm)
+            idx, cand, enough = self._candidates(table)
 
             def run_i(t, idx_c, cand_c, en_c):
                 return _fa3d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
                                       nmin, thr, seed, trials=tr, samples=sm)
 
             return base.chunked(run_i, table, self.chunk_size,
-                                jnp.asarray(idx), jnp.asarray(cand),
-                                jnp.asarray(enough))
+                                idx, cand, enough)
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
             return _fa3d_full(

@@ -31,10 +31,18 @@ def main():
     from opencorr_tpu.ops import bspline, gradient
     from opencorr_tpu.ops import icgn as icgn_ops
 
-    # identical on every process (replicated inputs)
+    # identical on every process (replicated inputs); smoothed speckle so the
+    # correlation basin is wide enough for a zero-seeded IC-GN (raw white
+    # noise has no basin beyond +-1 px)
+    from scipy.ndimage import gaussian_filter
+
     rng = np.random.default_rng(0)
     h = w = 96
-    ref_np = (rng.random((h, w)).astype(np.float32) * 255)
+    # keep pixels far from 0: the bicubic LUT flags out-of-range samples with
+    # a -1 sentinel (matching the reference's value<0 check), so image values
+    # near 0 — or interpolation undershoot past 0 — would read as OOB
+    ref_np = (gaussian_filter(
+        rng.standard_normal((h, w)).astype(np.float32), 1.5) * 60 + 128)
     tar_np = np.roll(ref_np, (1, 2), axis=(0, 1))
     ref = jnp.asarray(ref_np)
     gx = gradient.gradient_x_2d(ref)
@@ -57,8 +65,11 @@ def main():
     mk = lambda a: jax.make_array_from_process_local_data(sh, a[lo:hi])
     xs = mk(xs_g)
     ys = mk(ys_g)
-    p = jax.make_array_from_process_local_data(
-        sh, np.zeros((n_global // nprocs, 6), np.float32))
+    # integer-guess seed (u=2, v=1), as FFTCC would supply in the pipeline
+    p_local = np.zeros((n_global // nprocs, 6), np.float32)
+    p_local[:, 0] = 2.0
+    p_local[:, 3] = 1.0
+    p = jax.make_array_from_process_local_data(sh, p_local)
     zin = mk(np.zeros(n_global, np.float32))
 
     out = icgn_ops.icgn2d(gx, gy, ref, lut, xs, ys, p, zin,

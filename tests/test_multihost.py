@@ -19,7 +19,6 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
 def test_two_process_distributed_icgn():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "multihost_worker.py")
