@@ -22,11 +22,20 @@ GT4 stereo pair with a grid of the same POI count (343 x 286 = 98,098 ~=
 GT4's 1920x1200 frame).  Candidate count and subset sizes — the actual work —
 match the reference exactly.
 
+Sandbox structure (CLAUDE.md gotchas): any device->host read flips the axon
+session into a slow polled dispatch mode, so each workload runs in its own
+process (``python bench_stereo.py all`` orchestrates subprocesses), warms the
+compiled programs on same-shape sub-queues, and does all timed device work
+before the first transfer.  The package's persistent XLA compile cache makes
+the cold stages in ``gt4`` reflect deployable cold-start, not first-ever
+compiles — prime it by running the same command twice.
+
 Prints one JSON line per stage.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -41,9 +50,17 @@ import opencorr_tpu as oc
 from opencorr_tpu.data import poi as poi_mod
 
 D3 = "/root/reference/examples/3d_dic"
+PARALLAX_NPZ = "/tmp/bench_stereo_parallax.npz"
 
 
 def bench_gt4_pipeline():
+    """Full 4-phase pipeline, end-to-end wall clock (host stages included).
+
+    Phases after the first keypoint readback run in the sandbox's polled
+    dispatch mode; on real hardware the same dispatches are ~us.  Run twice
+    (two process invocations) so the persistent compile cache covers the
+    cold-start; the second invocation is the reported number.
+    """
     from examples.stereo_3d_dic_epipolar_sift import run
 
     t0 = time.time()
@@ -70,7 +87,7 @@ def _step18_grid():
     xs0 = 60 + 5 * np.arange(343, dtype=np.float32)   # 60..1770
     ys0 = 60 + 4 * np.arange(286, dtype=np.float32)   # 60..1200-60
     xx, yy = np.meshgrid(xs0, ys0)
-    return oc.new_table_2d(xx.ravel(), yy.ravel())
+    return xx.ravel(), yy.ravel()
 
 
 def _fit_parallax(ref_kp, tar_kp, width, height):
@@ -83,7 +100,33 @@ def _fit_parallax(ref_kp, tar_kp, width, height):
     return cx.astype(np.float32), cy.astype(np.float32)
 
 
-def bench_reconstruction(use_sift: bool):
+def bench_sift_feature():
+    """SIFT parallax-estimation stage (test_3d_reconstruction_sift_epipolar
+    .cpp:151-171).  Includes the keypoint readback — part of the stage's
+    contract — and saves the fitted parallax for the matching process."""
+    view1 = oc.Image2D.load(f"{D3}/GT4-0000_0.tif")
+    view2 = oc.Image2D.load(f"{D3}/GT4-0000_1.tif")
+    sift = oc.SIFT2D()
+    sift.set_images(view1, view2)
+    # single timed run: the stage's own keypoint readback flips the sandbox
+    # into polled dispatch, so an in-process warm re-run would be *slower*
+    # than this cold one; the persistent compile cache (primed by a prior
+    # invocation) keeps compile time out of it
+    t0 = time.time()
+    sift.prepare()
+    sift.compute()
+    cx, cy = _fit_parallax(sift.ref_matched_kp, sift.tar_matched_kp,
+                           view1.width, view1.height)
+    feature_s = time.time() - t0
+    np.savez(PARALLAX_NPZ, cx=cx, cy=cy)
+    print(json.dumps({"stage": "step18_sift_epipolar_feature",
+                      "seconds": round(feature_s, 3),
+                      "n_matches": int(len(sift.ref_matched_kp)),
+                      "vs_baseline": round(3.3706 / feature_s, 1)}),
+          flush=True)
+
+
+def _setup_step18(use_sift: bool):
     from examples.reconstruction_epipolar import gt4_cameras
 
     view1 = oc.Image2D.load(f"{D3}/GT4-0000_0.tif")
@@ -92,25 +135,10 @@ def bench_reconstruction(use_sift: bool):
     cam1.prepare(view1.height, view1.width)
     cam2.prepare(view2.height, view2.width)
 
-    tag = "sift_epipolar" if use_sift else "epipolar"
     epi = oc.EpipolarSearch(cam1, cam2)
-    feature_s = 0.0
     if use_sift:
-        # test_3d_reconstruction_sift_epipolar.cpp:151-171 — SIFT parallax
-        # estimate, then search radius 90 step 3.
-        sift = oc.SIFT2D()
-        sift.set_images(view1, view2)
-        t0 = time.time()
-        sift.prepare()
-        sift.compute()
-        cx, cy = _fit_parallax(sift.ref_matched_kp, sift.tar_matched_kp,
-                               view1.width, view1.height)
-        feature_s = time.time() - t0
-        print(json.dumps({"stage": f"step18_{tag}_feature",
-                          "seconds": round(feature_s, 3),
-                          "vs_baseline": round(3.3706 / feature_s, 1)}),
-              flush=True)
-        epi.set_parallax(cx, cy)
+        d = np.load(PARALLAX_NPZ)
+        epi.set_parallax(d["cx"], d["cy"])
         epi.set_search(90, 3)
     else:
         # test_3d_reconstruction_epipolar.cpp:142-146.
@@ -124,53 +152,118 @@ def bench_reconstruction(use_sift: bool):
     icgn2.set_images(view1, view2)
     icgn2.prepare()
 
-    pois = _step18_grid()
-    n = int(pois.n)
-    t0 = time.time()
-    pois = epi.compute(pois)
-    pois = icgn2.compute(pois)
-    jax.block_until_ready(pois.p)
-    match_s = time.time() - t0
-
     sv = oc.Stereovision(cam1, cam2)
     sv.prepare()
-    t0 = time.time()
-    p1 = jnp.stack([pois.x, pois.y], -1)
-    p2 = jnp.stack([pois.x + pois.p[:, poi_mod.U],
-                    pois.y + pois.p[:, poi_mod.V]], -1)
-    world = sv.reconstruct(p1, p2)
-    jax.block_until_ready(world)
-    rec_s = time.time() - t0
 
+    def pipeline(pois):
+        pois = epi.compute(pois)
+        pois = icgn2.compute(pois)
+        p1 = jnp.stack([pois.x, pois.y], -1)
+        p2 = jnp.stack([pois.x + pois.p[:, poi_mod.U],
+                        pois.y + pois.p[:, poi_mod.V]], -1)
+        world = sv.reconstruct(p1, p2)
+        return pois, world
+
+    n_cand = 1 + 2 * len(range(epi.search_step, epi.search_radius,
+                               epi.search_step))
+    epi_chunk = max(256, epi.chunk_size // n_cand)
+    return pipeline, n_cand, max(epi_chunk, icgn2.chunk_size or 16384)
+
+
+def prime_step18(use_sift: bool):
+    """Compile (and persist to the XLA cache) every program the step18
+    pipeline needs, on a same-shape sub-queue.  Run in a fresh subprocess and
+    retried by ``main``: the sandbox's remote compiler hangs intermittently
+    and a killed retry resumes from whatever the cache already holds."""
+    pipeline, _, warm_n = _setup_step18(use_sift)
+    xs, ys = _step18_grid()
+    warm = oc.new_table_2d(xs[:warm_n], ys[:warm_n])
+    out, world = pipeline(warm)
+    jax.block_until_ready((out.p, world))
+    print(json.dumps({"stage": f"prime_{'sift' if use_sift else 'epipolar'}",
+                      "ok": True}), flush=True)
+
+
+def bench_reconstruction(use_sift: bool):
+    """Epipolar matching + ICGN2 refine + triangulation at Step18 scale.
+
+    All timed work happens before any device->host transfer (fast dispatch
+    mode), with one same-shape warm-up pass per program (compiles come from
+    the persistent cache primed by ``prime_step18``).
+    """
+    tag = "sift_epipolar" if use_sift else "epipolar"
+    pipeline, n_cand, warm_n = _setup_step18(use_sift)
+    xs, ys = _step18_grid()
+    n = xs.shape[0]
+
+    warm = oc.new_table_2d(xs[:warm_n], ys[:warm_n])
+    wout, wworld = pipeline(warm)
+    jax.block_until_ready((wout.p, wworld))
+
+    pois = oc.new_table_2d(xs, ys)
+    t0 = time.time()
+    pois, world = pipeline(pois)
+    jax.block_until_ready((pois.p, world))
+    match_s = time.time() - t0
+
+    # results readback (flips to polled mode; nothing timed after this)
     zncc = np.asarray(pois.zncc)
     base_match = 262.025 if not use_sift else 35.7451
     base_rec = 0.0085629 if not use_sift else 0.0129834
-    print(json.dumps({"stage": f"step18_{tag}_matching",
-                      "seconds": round(match_s, 3),
-                      "vs_baseline": round(base_match / match_s, 1)}),
-          flush=True)
-    print(json.dumps({"stage": f"step18_{tag}_reconstruction",
-                      "seconds": round(rec_s, 4),
-                      "vs_baseline": round(base_rec / rec_s, 1)}),
-          flush=True)
-    total = feature_s + match_s + rec_s
-    base_total = base_match + base_rec + (3.3706 + 0.0027 if use_sift else 0)
-    print(json.dumps({"metric": f"step18_{tag}_total_s",
-                      "value": round(total, 2), "unit": "s", "n_poi": n,
-                      "poi_per_s": round(n / total, 1),
+    base_total = base_match + base_rec
+    print(json.dumps({"metric": f"step18_{tag}_matching_s",
+                      "value": round(match_s, 3), "unit": "s", "n_poi": int(n),
+                      "n_candidates": int(n_cand),
+                      "poi_per_s": round(n / match_s, 1),
                       "good_frac": round(float((zncc > 0.9).mean()), 3),
-                      "vs_baseline": round(base_total / total, 1)}),
+                      "vs_baseline": round(base_total / match_s, 1)}),
           flush=True)
+
+
+def _run_mode(mode, timeout_s=420, retries=4):
+    """Run one bench mode in a fresh subprocess (fast dispatch mode), with
+    retries under a timeout: a hung remote compile is killed and the retry
+    resumes from the persistent compile cache."""
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-u", __file__, mode],
+                               timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(json.dumps({"stage": mode, "retry": attempt + 1}), flush=True)
+    print(json.dumps({"stage": mode, "error": "exhausted retries"}),
+          flush=True)
+    return False
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which in ("gt4", "all"):
+    if which == "all":
+        # one subprocess per workload: each must start in the fast dispatch
+        # mode (device->host readbacks permanently slow a session's dispatch
+        # under the axon tunnel); prime passes populate the compile cache
+        _run_mode("prime_epipolar")
+        _run_mode("epipolar", timeout_s=900)
+        _run_mode("sift_feature", timeout_s=900)
+        _run_mode("prime_sift")
+        _run_mode("sift_match", timeout_s=900)
+        _run_mode("gt4", timeout_s=1200)  # primes its own programs
+        _run_mode("gt4", timeout_s=1200)  # reported number: warm cache
+        return
+    if which == "gt4":
         bench_gt4_pipeline()
-    if which in ("epipolar", "all"):
+    elif which == "epipolar":
         bench_reconstruction(use_sift=False)
-    if which in ("sift", "all"):
+    elif which == "sift_feature":
+        bench_sift_feature()
+    elif which == "sift_match":
         bench_reconstruction(use_sift=True)
+    elif which == "prime_epipolar":
+        prime_step18(use_sift=False)
+    elif which == "prime_sift":
+        prime_step18(use_sift=True)
 
 
 if __name__ == "__main__":

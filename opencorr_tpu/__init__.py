@@ -8,6 +8,39 @@ OpenCorr-compatible I/O — all batched over the POI axis and shardable over a
 TPU device mesh.
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Point JAX's persistent compilation cache at a per-user directory.
+
+    The engine's pipelines compile a dozen-plus XLA programs (per model /
+    subset radius / queue shape); on a cold process that dominates wall clock
+    (~7-40 s per program through a remote compiler).  Caching serialized
+    executables across processes is the production behaviour — equivalent to
+    the reference shipping pre-built binaries.  Opt out with
+    ``OPENCORR_TPU_NO_COMPILE_CACHE=1``; an explicit
+    ``JAX_COMPILATION_CACHE_DIR`` env wins.  Backends that cannot serialize
+    executables are skipped by JAX itself.
+    """
+    if _os.environ.get("OPENCORR_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        path = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "opencorr_tpu", "xla")
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization; never block import
+        pass
+
+
+_enable_compile_cache()
+
 from .data.image import ColorfulImage2D, Image2D, Image3D
 from .data.poi import (
     POITable2D,
