@@ -34,7 +34,9 @@ def _enable_compile_cache():
             _os.path.expanduser("~"), ".cache", "opencorr_tpu", "xla")
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache everything: under a remote compile service even trivial
+        # programs cost a round-trip (and can hang), so no time floor
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # cache is an optimization; never block import
         pass
 

@@ -39,33 +39,44 @@ def chunked(fn, table, chunk_size: Optional[int], *extras):
     length, e.g. EpipolarSearch's center offsets) padded and sliced alongside
     the table.
 
-    ``fn`` must be shape-polymorphic only in data values (it is called with a
-    constant chunk length so jit compiles once).
+    ``fn`` must be shape-polymorphic only in data values.  The chunk loop is
+    a single ``lax.scan`` program: the body compiles once at the chunk shape
+    (bounding XLA graph size and device working set), and the whole queue
+    runs as ONE device dispatch — chunking costs no per-chunk dispatch
+    round-trips (the tunnel adds ~0.5 ms each) and no eager slice/concat
+    glue programs.
     """
     n = table.n
     if chunk_size is None or n <= chunk_size:
         return fn(table, *extras)
     padded = _pad_len(n, chunk_size)
     pad = padded - n
+    k = padded // chunk_size
 
     def pad_leaf(a):
-        if a.ndim == 0:
-            return a
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(jnp.asarray(a), widths, mode="edge")
 
     bundle = (table,) + extras
-    big = jax.tree_util.tree_map(pad_leaf, bundle)
-    outs = []
-    for i in range(padded // chunk_size):
-        sub = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk_size, chunk_size, 0)
-            if a.ndim else a,
-            big,
-        )
-        outs.append(fn(*sub))
-    cat = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-    return jax.tree_util.tree_map(lambda a: a[:n] if a.ndim else a, cat)
+    flat, treedef = jax.tree_util.tree_flatten(bundle)
+    is_arr = [getattr(a, "ndim", 0) > 0 for a in flat]
+    stacked = [
+        pad_leaf(a).reshape((k, chunk_size) + a.shape[1:])
+        for a, arr in zip(flat, is_arr) if arr
+    ]
+
+    def body(_, xs):
+        it = iter(xs)
+        sub_flat = [next(it) if arr else a for a, arr in zip(flat, is_arr)]
+        out = fn(*jax.tree_util.tree_unflatten(treedef, sub_flat))
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, stacked)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((k * chunk_size,) + a.shape[2:])[:n]
+        if a.ndim > 1 else a[0],
+        outs,
+    )
 
 
 class Module2D:
