@@ -10,7 +10,12 @@ ICI-scaled throughput.  Multi-host: run under jax.distributed.initialize().
 """
 
 import json
+import os
 import time
+
+# on the virtual CPU mesh the persistent cache's strict AOT machine-feature
+# check can mis-load entries; scaling runs measure fresh compiles anyway
+os.environ.setdefault("OPENCORR_TPU_NO_COMPILE_CACHE", "1")
 
 import numpy as np
 
@@ -52,10 +57,12 @@ def main():
         sharded = pm.shard_table(padded, mesh)
         out = icgn.compute(sharded)  # warm-up/compile
         jax.block_until_ready(out.p)
-        t0 = time.perf_counter()
-        out = icgn.compute(sharded)
-        jax.block_until_ready(out.p)
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(3):  # best-of-3: the host-device CPU mesh is noisy
+            t0 = time.perf_counter()
+            out = icgn.compute(sharded)
+            jax.block_until_ready(out.p)
+            dt = min(dt, time.perf_counter() - t0)
         rate = n_orig / dt
         if base_rate is None:
             base_rate = rate

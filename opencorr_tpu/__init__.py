@@ -30,6 +30,16 @@ def _enable_compile_cache():
     try:
         import jax
 
+        # XLA:CPU cache entries are ahead-of-time machine code with a strict
+        # machine-feature check; a stale/mismatched entry can load as garbage
+        # (observed: silent wrong results on the virtual CPU mesh).  The cache
+        # exists for the remote-compiled TPU backend — skip it when the
+        # process explicitly targets CPU.
+        platforms = jax.config.jax_platforms or _os.environ.get(
+            "JAX_PLATFORMS", "")
+        if platforms and set(platforms.split(",")) <= {"cpu"}:
+            return
+
         path = _os.path.join(
             _os.path.expanduser("~"), ".cache", "opencorr_tpu", "xla")
         _os.makedirs(path, exist_ok=True)

@@ -33,18 +33,29 @@ def _pad_len(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
+import os as _os
+
+# Chunks per lax.scan dispatch in chunked() (1 = plain per-chunk host loop).
+SCAN_GROUP = int(_os.environ.get("OPENCORR_TPU_SCAN_GROUP", "8"))
+
+
 def chunked(fn, table, chunk_size: Optional[int], *extras):
     """Apply ``fn(sub_table, *sub_extras) -> sub_table`` over fixed-size POI
     chunks.  ``extras`` are optional per-POI arrays (leading axis = queue
     length, e.g. EpipolarSearch's center offsets) padded and sliced alongside
     the table.
 
-    ``fn`` must be shape-polymorphic only in data values.  The chunk loop is
-    a single ``lax.scan`` program: the body compiles once at the chunk shape
-    (bounding XLA graph size and device working set), and the whole queue
-    runs as ONE device dispatch — chunking costs no per-chunk dispatch
-    round-trips (the tunnel adds ~0.5 ms each) and no eager slice/concat
-    glue programs.
+    ``fn`` must be shape-polymorphic only in data values.  Chunks are run in
+    groups of ``SCAN_GROUP`` as one ``lax.scan`` program per group — the body
+    compiles once at the chunk shape (bounding XLA graph size and device
+    working set) and each group is ONE device dispatch, cutting per-chunk
+    dispatch round-trips (the tunnel adds ~0.5 ms each) by the group factor.
+    The group size is fixed, so one compiled [group, chunk] program serves
+    every group and every queue length; tail chunks (< one group) fall back
+    to per-chunk calls of ``fn``'s own chunk-shape program.  Raise
+    ``OPENCORR_TPU_SCAN_GROUP`` on real hardware for fewer dispatches (the
+    sandbox's TPU worker dies on scans longer than ~8 of the heavier
+    bodies); 1 disables scanning entirely.
     """
     n = table.n
     if chunk_size is None or n <= chunk_size:
@@ -52,6 +63,8 @@ def chunked(fn, table, chunk_size: Optional[int], *extras):
     padded = _pad_len(n, chunk_size)
     pad = padded - n
     k = padded // chunk_size
+    group = max(1, SCAN_GROUP)
+    g, tail = divmod(k, group)
 
     def pad_leaf(a):
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
@@ -60,10 +73,7 @@ def chunked(fn, table, chunk_size: Optional[int], *extras):
     bundle = (table,) + extras
     flat, treedef = jax.tree_util.tree_flatten(bundle)
     is_arr = [getattr(a, "ndim", 0) > 0 for a in flat]
-    stacked = [
-        pad_leaf(a).reshape((k, chunk_size) + a.shape[1:])
-        for a, arr in zip(flat, is_arr) if arr
-    ]
+    big = [pad_leaf(a) if arr else a for a, arr in zip(flat, is_arr)]
 
     def body(_, xs):
         it = iter(xs)
@@ -71,12 +81,35 @@ def chunked(fn, table, chunk_size: Optional[int], *extras):
         out = fn(*jax.tree_util.tree_unflatten(treedef, sub_flat))
         return None, out
 
-    _, outs = jax.lax.scan(body, None, stacked)
+    outs = []
+    for i in range(g):  # full groups: one scan dispatch each
+        stacked = [
+            jax.lax.dynamic_slice_in_dim(
+                a, i * group * chunk_size, group * chunk_size, 0
+            ).reshape((group, chunk_size) + a.shape[1:])
+            for a, arr in zip(big, is_arr) if arr
+        ]
+        _, out = jax.lax.scan(body, None, stacked)
+        outs.append(jax.tree_util.tree_map(
+            lambda a: a.reshape((group * chunk_size,) + a.shape[2:])
+            if a.ndim > 1 else a, out))
+    for j in range(tail):  # tail chunks: chunk-shape program
+        start = (g * group + j) * chunk_size
+        sub_flat = [
+            jax.lax.dynamic_slice_in_dim(a, start, chunk_size, 0)
+            if arr else a
+            for a, arr in zip(big, is_arr)
+        ]
+        outs.append(fn(*jax.tree_util.tree_unflatten(treedef, sub_flat)))
+
+    if len(outs) == 1:
+        cat = outs[0]
+    else:
+        cat = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs], 0),
+            *outs)
     return jax.tree_util.tree_map(
-        lambda a: a.reshape((k * chunk_size,) + a.shape[2:])[:n]
-        if a.ndim > 1 else a[0],
-        outs,
-    )
+        lambda a: a[:n] if a.ndim else a, cat)
 
 
 class Module2D:

@@ -271,11 +271,13 @@ class SIFT3D:
 
     # ------------------------------------------------------------------
     def _extract_device(self, vol: jnp.ndarray):
-        """Fully-device feature extraction: extrema compaction, orientation
-        and descriptors all stay on the accelerator with static per-layer
-        keypoint caps; ONE host transfer at the end (the host path instead
-        syncs np.nonzero and gathers windows per layer — fine for small
-        volumes, prohibitive at CT scale)."""
+        """Fully-device feature extraction: extrema compaction, orientation,
+        descriptors and the final table assembly all stay on the accelerator
+        with static per-layer keypoint caps.  Returns DEVICE arrays
+        (kp [k_cap, 6], desc [k_cap, 768], ok [k_cap]) — nothing crosses to
+        the host here (the host path instead syncs np.nonzero and gathers
+        windows per layer — fine for small volumes, prohibitive at CT
+        scale)."""
         cfg = self.sift_config
         layers = self._plan_layers(vol.shape)
         lpo_g = cfg.n_octave_layers + 3
@@ -355,24 +357,21 @@ class SIFT3D:
             del g_vols, dog
             self._progress(f"octave {m} done ({layers[base].dims})")
 
-        # single host sync: assemble keypoint/descriptor tables
-        out_kp, out_desc = [], []
-        for (x, y, z, ok, desc, m, n, scale) in staged:
-            okn = np.asarray(ok)
-            if not okn.any():
-                continue
-            f = float(2.0 ** m)
-            coor = np.stack([np.asarray(x)[okn] * f, np.asarray(y)[okn] * f,
-                             np.asarray(z)[okn] * f], axis=1)
-            mn = np.tile(np.array([[m, n]], np.float32), (len(coor), 1))
-            rec = np.concatenate(
-                [coor.astype(np.float32), mn,
-                 np.full((len(coor), 1), scale, np.float32)], axis=1)
-            out_kp.append(rec)
-            out_desc.append(np.asarray(desc)[okn])
-        if not out_kp:
-            return np.zeros((0, 6), np.float32), np.zeros((0, 768), np.float32)
-        return np.concatenate(out_kp, 0), np.concatenate(out_desc, 0)
+        # merge all layers into one fixed-size device table (NO host syncs:
+        # the per-layer np.asarray loop used here previously moved ~2 GB of
+        # descriptors through the tunnel in ~100 transfers and crashed the
+        # worker at CT scale)
+        k_tot = sum(s[3].shape[0] for s in staged)
+        k_cap = min(1 << (k_tot - 1).bit_length(), 65536)
+        kp, desc, ok = ops3d.assemble_keypoints(
+            tuple(s[0] for s in staged), tuple(s[1] for s in staged),
+            tuple(s[2] for s in staged), tuple(s[3] for s in staged),
+            tuple(s[4] for s in staged),
+            tuple(jnp.asarray(np.array(
+                [2.0 ** s[5], s[5], s[6], s[7]], np.float32))
+                for s in staged),
+            k_cap=k_cap)
+        return kp, desc, ok
 
     # ------------------------------------------------------------------
     def compute(self):
@@ -381,16 +380,30 @@ class SIFT3D:
                                   jnp.float32)
             tar_vol = jnp.asarray(getattr(self.tar_img, "mat", self.tar_img),
                                   jnp.float32)
-            ref_kp, ref_desc = self._extract_device(ref_vol)
-            tar_kp, tar_desc = self._extract_device(tar_vol)
-            self.ref_kp_count = len(ref_kp)
-            self.tar_kp_count = len(tar_kp)
+            kp1d, desc1d, ok1d = self._extract_device(ref_vol)
+            kp2d, desc2d, ok2d = self._extract_device(tar_vol)
+            # 2-NN search on device; only [K, 2] distance/index tables, the
+            # [K, 6] keypoint records and the validity masks cross the tunnel
+            # (the many-to-one / mutual elimination is a tiny sequential
+            # host pass, matching the reference's std::map walk)
+            d12, i12 = ops3d.match_top2(
+                desc1d, desc2d, ok2d, chunk=min(2048, desc1d.shape[0]))
             if self.match_mode == "bi":
-                mk1, mk2 = _bidirectional_match(
-                    ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+                d21, i21 = ops3d.match_top2(
+                    desc2d, desc1d, ok1d, chunk=min(2048, desc2d.shape[0]))
+            kp1, ok1 = np.asarray(kp1d), np.asarray(ok1d)
+            kp2, ok2 = np.asarray(kp2d), np.asarray(ok2d)
+            self.ref_kp_count = int(ok1.sum())
+            self.tar_kp_count = int(ok2.sum())
+            ratio = self.matching_ratio
+            if self.match_mode == "bi":
+                mk1, mk2 = _bi_eliminate(
+                    kp1, ok1, kp2, ok2, np.asarray(d12), np.asarray(i12),
+                    np.asarray(d21), np.asarray(i21), ratio)
             else:
-                mk1, mk2 = _monodirectional_match(
-                    ref_kp, ref_desc, tar_kp, tar_desc, self.matching_ratio)
+                mk1, mk2 = _mono_eliminate(
+                    kp1, ok1, kp2, int(ok2.sum()), np.asarray(d12),
+                    np.asarray(i12), ratio)
             self.ref_matched_kp = mk1
             self.tar_matched_kp = mk2
             return
@@ -537,8 +550,19 @@ def _monodirectional_match(kp1, desc1, kp2, desc2, ratio):
     if len(kp1) == 0 or len(kp2) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
     d2, idx2 = _top2_distances(desc1, desc2)
+    return _mono_eliminate(kp1, np.ones(len(kp1), bool), kp2, len(kp2),
+                           d2, idx2, ratio)
+
+
+def _mono_eliminate(kp1, valid1, kp2, n2_valid, d2, idx2, ratio):
+    """Host tail of the monodirectional match given precomputed 2-NN tables
+    (device or host): ratio test + many-to-one elimination
+    (oc_sift.cpp:1251-1418).  ``valid1`` masks padded rows of a fixed-size
+    device keypoint table; ``n2_valid`` guards the <2-valid-targets case."""
+    if not valid1.any() or n2_valid < 2:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
     ratio2 = ratio * ratio
-    keep = d2[:, 0] < ratio2 * d2[:, 1]
+    keep = valid1 & (d2[:, 0] < ratio2 * d2[:, 1])
     ref_idx = np.nonzero(keep)[0]
     tar_idx = idx2[keep, 0]
     dist = d2[keep, 0]
@@ -572,11 +596,20 @@ def _bidirectional_match(kp1, desc1, kp2, desc2, ratio):
     each other's mutual ratio-test best match."""
     if len(kp1) == 0 or len(kp2) < 2 or len(kp1) < 2:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
-    ratio2 = ratio * ratio
     d12, i12 = _top2_distances(desc1, desc2)
     d21, i21 = _top2_distances(desc2, desc1)
-    r2t = np.where(d12[:, 0] < ratio2 * d12[:, 1], i12[:, 0], -1)
-    t2r = np.where(d21[:, 0] < ratio2 * d21[:, 1], i21[:, 0], -1)
+    return _bi_eliminate(kp1, np.ones(len(kp1), bool),
+                         kp2, np.ones(len(kp2), bool),
+                         d12, i12, d21, i21, ratio)
+
+
+def _bi_eliminate(kp1, valid1, kp2, valid2, d12, i12, d21, i21, ratio):
+    """Host tail of the bidirectional match given precomputed 2-NN tables."""
+    if valid1.sum() < 2 or valid2.sum() < 2:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    ratio2 = ratio * ratio
+    r2t = np.where(valid1 & (d12[:, 0] < ratio2 * d12[:, 1]), i12[:, 0], -1)
+    t2r = np.where(valid2 & (d21[:, 0] < ratio2 * d21[:, 1]), i21[:, 0], -1)
     keep = (r2t >= 0) & (t2r[np.clip(r2t, 0, None)] == np.arange(len(kp1)))
     ref_idx = np.nonzero(keep)[0]
     return kp1[ref_idx, :3].copy(), kp2[r2t[ref_idx], :3].copy()

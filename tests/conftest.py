@@ -8,6 +8,9 @@ use (see .claude/skills/verify/SKILL.md).
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# XLA:CPU AOT cache entries are machine-feature strict (mismatch risks
+# SIGILL); the package's persistent compile cache is for the TPU backend
+os.environ.setdefault("OPENCORR_TPU_NO_COMPILE_CACHE", "1")
 
 import jax
 
