@@ -76,10 +76,12 @@ class SIFT2D:
     def prepare(self):
         pass
 
-    def _compute_tpu(self):
-        """Whole stage as one async dispatch chain: detection, device-side
-        compaction, and exact matching all run before the single final
-        transfer of the matched coordinate arrays."""
+    def compute_device(self):
+        """Device-side pipeline: detection, compaction, and exact matching as
+        one async dispatch chain with NO host transfer.  Returns device arrays
+        (keep [K], idx [K], rx, ry, tx, ty); ``compute`` finishes with the
+        single keypoint readback.  Exposed separately so callers (and benches)
+        can overlap/batch the readback."""
         import jax.numpy as jnp
 
         cfg = self.sift_config
@@ -90,18 +92,6 @@ class SIFT2D:
                              np.float32)
         tar_mat = np.asarray(getattr(self.tar_img, "mat", self.tar_img),
                              np.float32)
-        if cfg.n_features > 0:
-            # retainBest needs host-side response sorting; rare path
-            res_ref = sift_ops.detect_and_compute(ref_mat, **kw)
-            res_tar = sift_ops.detect_and_compute(tar_mat, **kw)
-            rp, rd, _, _, rr = sift_ops.gather_keypoints(res_ref)
-            tp, td, _, _, tr = sift_ops.gather_keypoints(res_tar)
-            rp, rd = _retain_best(rp, rd, rr, cfg.n_features)
-            tp, td = _retain_best(tp, td, tr, cfg.n_features)
-            keep, idx = _match_descriptors(rd, td, self.matching_ratio)
-            self.ref_matched_kp = rp[keep]
-            self.tar_matched_kp = tp[idx[keep]]
-            return
 
         def compact(res):
             oks = tuple(r[0] for r in res)
@@ -118,6 +108,31 @@ class SIFT2D:
         tx, ty, tdesc, tok = compact(sift_ops.detect_and_compute(tar_mat, **kw))
         keep, idx = sift_ops.match_device(rdesc, rok, tdesc, tok,
                                           jnp.float32(self.matching_ratio))
+        return keep, idx, rx, ry, tx, ty
+
+    def _compute_tpu(self):
+        cfg = self.sift_config
+        if cfg.n_features > 0:
+            # retainBest needs host-side response sorting; rare path
+            kw = dict(n_octave_layers=cfg.n_octave_layers,
+                      contrast_threshold=cfg.contrast_threshold,
+                      edge_threshold=cfg.edge_threshold, sigma=cfg.sigma)
+            ref_mat = np.asarray(getattr(self.ref_img, "mat", self.ref_img),
+                                 np.float32)
+            tar_mat = np.asarray(getattr(self.tar_img, "mat", self.tar_img),
+                                 np.float32)
+            res_ref = sift_ops.detect_and_compute(ref_mat, **kw)
+            res_tar = sift_ops.detect_and_compute(tar_mat, **kw)
+            rp, rd, _, _, rr = sift_ops.gather_keypoints(res_ref)
+            tp, td, _, _, tr = sift_ops.gather_keypoints(res_tar)
+            rp, rd = _retain_best(rp, rd, rr, cfg.n_features)
+            tp, td = _retain_best(tp, td, tr, cfg.n_features)
+            keep, idx = _match_descriptors(rd, td, self.matching_ratio)
+            self.ref_matched_kp = rp[keep]
+            self.tar_matched_kp = tp[idx[keep]]
+            return
+
+        keep, idx, rx, ry, tx, ty = self.compute_device()
         keep = np.asarray(keep)
         idx = np.asarray(idx)
         rxy = np.stack([np.asarray(rx), np.asarray(ry)], -1)
