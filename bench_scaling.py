@@ -21,6 +21,12 @@ import numpy as np
 
 import jax
 
+# The sandbox's sitecustomize force-registers the axon TPU backend and
+# overrides a JAX_PLATFORMS=cpu env var; honor the env var ourselves so the
+# documented invocation works (CLAUDE.md gotcha).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import opencorr_tpu as oc
 from opencorr_tpu.parallel import mesh as pm
 

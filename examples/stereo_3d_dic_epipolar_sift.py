@@ -26,10 +26,15 @@ from opencorr_tpu.data import poi as poi_mod
 
 def run(data_dir: str = "/root/reference/examples/3d_dic",
         out_path: str = "/tmp/GT4-0273_0_epipolar_sift_r16.csv",
-        poi_stride: int = 1, sift_backend=None, sift_features: int = 0):
+        poi_stride: int = 1, sift_backend=None, sift_features: int = 0,
+        sift_matches=None):
     """``poi_stride``: subsample the 9997-POI queue (tests use a stride so
     the golden gate stays fast); ``sift_backend``: override SIFT2D backend;
-    ``sift_features``: retainBest cap (0 = keep all, like the reference)."""
+    ``sift_features``: retainBest cap (0 = keep all, like the reference);
+    ``sift_matches``: optional (ref_kp, tar_kp) host arrays — skips the SIFT
+    stage so the rest of the pipeline runs with zero device->host transfers
+    (the keypoint readback is the one unavoidable host sync; benches time it
+    separately).  ``out_path=None`` skips the CSV write (also a readback)."""
     ref_view1 = oc.Image2D.load(f"{data_dir}/GT4-0000_0.tif")
     ref_view2 = oc.Image2D.load(f"{data_dir}/GT4-0000_1.tif")
     tar_view1 = oc.Image2D.load(f"{data_dir}/GT4-0273_0.tif")
@@ -102,14 +107,20 @@ def run(data_dir: str = "/root/reference/examples/3d_dic",
 
     # PHASE 2: temporal match ref1 -> tar1 (SIFT + FeatureAffine + ICGN1)
     t0 = time.time()
-    sift.set_images(ref_view1, tar_view1)
-    sift.prepare()
-    sift.compute()
+    if sift_matches is None:
+        sift.set_images(ref_view1, tar_view1)
+        sift.prepare()
+        sift.compute()
+        ref_mk, tar_mk = sift.ref_matched_kp, sift.tar_matched_kp
+    else:
+        ref_mk, tar_mk = sift_matches
     fa.set_images(ref_view1, tar_view1)
-    fa.set_keypoint_pair(sift.ref_matched_kp, sift.tar_matched_kp)
-    fa.prepare()
-    # fresh deformation state for the temporal match
+    fa.set_keypoint_pair(ref_mk, tar_mk)
+    # fresh deformation state for the temporal match; host POI coordinates
+    # passed through so the candidate precompute never reads back a device
+    # buffer (FeatureAffine2D.prepare contract)
     pois_t = oc.new_table_2d(pts[:, 0], pts[:, 1])
+    fa.prepare(pois_t, points=pts[:, :2])
     pois_t = fa.compute(pois_t)
     icgn1.set_images(ref_view1, tar_view1)
     icgn1.prepare()
@@ -163,8 +174,9 @@ def run(data_dir: str = "/root/reference/examples/3d_dic",
 
     result = result.replace(ref_coor=ref_3d, tar_coor=tar_3d, p=disp)
 
-    from opencorr_tpu.io import table as io_table
-    io_table.save_table_2ds(out_path, result)
+    if out_path is not None:
+        from opencorr_tpu.io import table as io_table
+        io_table.save_table_2ds(out_path, result)
     return result, timings
 
 
