@@ -67,6 +67,7 @@ def bench_gt4_feature():
     sift = oc.SIFT2D()
     sift.set_images(view1, tar1)
     sift.prepare()
+    jax.block_until_ready(sift.compute_device())  # warm pass
     t0 = time.time()
     keep, idx, rx, ry, tx, ty = sift.compute_device()
     jax.block_until_ready((keep, idx, rx, ry, tx, ty))
@@ -155,6 +156,8 @@ def bench_sift_feature():
     sift = oc.SIFT2D()
     sift.set_images(view1, view2)
     sift.prepare()
+    jax.block_until_ready(sift.compute_device())  # warm pass (compile load
+    # + the tunnel's one-time per-shape dispatch overhead)
     t0 = time.time()
     keep, idx, rx, ry, tx, ty = sift.compute_device()
     jax.block_until_ready((keep, idx, rx, ry, tx, ty))
