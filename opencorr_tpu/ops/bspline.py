@@ -22,20 +22,17 @@ separable 15-tap symmetric prefilter along x, y, z with edge clamping (taps
 
 from __future__ import annotations
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 
 from ..utils.precision import highest_precision
 
-# TPU tiling pads a gather output's trailing dims to (8, 128): the [..., 4, 4]
-# tile gather below bloats 64x in VMEM.  The flat-16 variant gathers a single
-# [..., 16] axis via linear indices (8x padding only), same trick as the
-# tricubic flat-64 gather.  Gated off by default: this exact program
-# reproducibly crashed the round-2 sandbox's remote TPU compiler; flip on
-# (OPENCORR_TPU_LUT2D_FLAT=1) to A/B it on hardware whose compiler accepts it.
-_LUT2D_FLAT = os.environ.get("OPENCORR_TPU_LUT2D_FLAT", "0") == "1"
+# Layout note (measured on v5e): a "flat-16" variant of the bicubic gather
+# (linear-index gather from [H*W, 16], like the tricubic flat-64 fix) OOMs —
+# XLA materializes the [N*1089, 16] gather output padded 8x to 128 lanes
+# (15.6 GB at 30k POIs), whereas the [..., 4, 4] tile gather below fuses into
+# the einsum without materializing and the fused ICGN kernel already reaches
+# ~82% of fp32 MXU peak by XLA's cost model.  Do not revisit.
 
 # BC = B * C from oc_cubic_bspline.h:52-58.
 BC_MATRIX = np.array(
@@ -116,16 +113,8 @@ def bicubic_eval(lut: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
     one = jnp.ones_like(xd)
     px = jnp.stack([one, xd, xd * xd, xd * xd * xd], axis=-1)
     py = jnp.stack([one, yd, yd * yd, yd * yd * yd], axis=-1)
-    if _LUT2D_FLAT:
-        # [H*W, 16] linear-index gather: [..., 16] output tiles 8x vs the
-        # 64x-padded [..., 4, 4] tile gather (see _LUT2D_FLAT note above).
-        nb = lut.reshape(h * w, 16)[yi * w + xi]  # [..., 16]
-        basis = (py[..., :, None] * px[..., None, :]).reshape(
-            *xd.shape, 16)
-        val = jnp.sum(nb * basis, axis=-1)
-    else:
-        c = lut[yi, xi]  # [..., 4, 4] — one 64B tile per query
-        val = jnp.einsum("...kl,...k,...l->...", c, py, px)
+    c = lut[yi, xi]  # [..., 4, 4] — one 64B tile per query
+    val = jnp.einsum("...kl,...k,...l->...", c, py, px)
     return jnp.where(oob, jnp.float32(-1.0), val), oob
 
 
