@@ -128,15 +128,24 @@ def stage_sift():
     sift.set_images(ref, tar)
     sift.prepare()
 
-    t0 = time.time()
-    kp1d, desc1d, ok1d = sift._extract_device(jax.numpy.asarray(ref))
-    kp2d, desc2d, ok2d = sift._extract_device(jax.numpy.asarray(tar))
     from opencorr_tpu.ops import sift3d as ops3d
-    d12, i12 = ops3d.match_top2(desc1d, desc2d, ok2d,
-                                chunk=min(2048, desc1d.shape[0]))
-    jax.block_until_ready((kp1d, ok1d, kp2d, ok2d, d12, i12))
+
+    def run():
+        kp1d, desc1d, ok1d = sift._extract_device(jax.numpy.asarray(ref))
+        kp2d, desc2d, ok2d = sift._extract_device(jax.numpy.asarray(tar))
+        d12, i12 = ops3d.match_top2(desc1d, desc2d, ok2d,
+                                    chunk=min(2048, desc1d.shape[0]))
+        jax.block_until_ready((kp1d, ok1d, kp2d, ok2d, d12, i12))
+        return kp1d, desc1d, ok1d, kp2d, desc2d, ok2d, d12, i12
+
+    t0 = time.time()
+    run()  # compile-cache load + the tunnel's one-time per-shape overhead
+    cold_s = time.time() - t0
+    t0 = time.time()
+    kp1d, desc1d, ok1d, kp2d, desc2d, ok2d, d12, i12 = run()
     device_s = time.time() - t0
-    print(json.dumps({"stage": "SIFT_device", "seconds": round(device_s, 2),
+    print(json.dumps({"stage": "SIFT_device", "cold_s": round(cold_s, 2),
+                      "seconds": round(device_s, 2),
                       "vs_baseline": round(BASE["SIFT"] / device_s, 1)}),
           flush=True)
 

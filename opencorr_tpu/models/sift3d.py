@@ -330,7 +330,7 @@ class SIFT3D:
 
                 chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
                 rot, ok2 = ops3d.orient_keypoints(
-                    g_vols[n], x, y, z, jnp.float32(scale), units,
+                    g_vols[n], x, y, z, ok, jnp.float32(scale), units,
                     jnp.float32(cfg.gradient_threshold),
                     jnp.float32(cfg.beta), jnp.float32(cfg.gamma),
                     r=r_orient, chunk=chunk_o)
@@ -343,8 +343,8 @@ class SIFT3D:
                 xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
                 chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
                 desc = ops3d.describe_keypoints(
-                    g_vols[n], xd, yd, zd, rotd, jnp.float32(scale), units,
-                    jnp.float32(cfg.truncate_threshold),
+                    g_vols[n], xd, yd, zd, okd, rotd, jnp.float32(scale),
+                    units, jnp.float32(cfg.truncate_threshold),
                     r=r_desc, chunk=chunk_d)
                 staged.append((xd, yd, zd, okd, desc, m, n, scale))
                 self._progress(f"octave {m} layer {n}: programs queued "

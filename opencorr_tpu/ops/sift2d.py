@@ -449,14 +449,25 @@ def detect_octave(gauss, dog, *, n_layers, contrast_thr, edge_thr, sigma,
     s_li = s(layer.astype(f32) + xi)
     s_angle = angle.reshape(-1)[inst_idx]
 
-    # stream descriptor chunks to bound the [C, win^2] working set
+    # stream descriptor chunks to bound the [C, win^2] working set;
+    # instances are front-compacted, so all-padding chunks skip the
+    # window gather + histogram entirely
     nch = max(k_kp // DESC_CHUNK, 1)
     ch = lambda a: a.reshape(nch, -1, *a.shape[1:])
+    dwidth = DESCR_WIDTH * DESCR_WIDTH * DESCR_HIST_BINS
+
+    def _desc_body(t):
+        return jax.lax.cond(
+            jnp.any(t[5]),
+            lambda _: _descriptor_chunk(gauss, t[0], t[1], t[2], t[3], t[4],
+                                        t[5], radius_max=radius_desc),
+            lambda _: jnp.zeros((t[0].shape[0], dwidth), f32),
+            None)
+
     desc = jax.lax.map(
-        lambda t: _descriptor_chunk(gauss, t[0], t[1], t[2], t[3], t[4],
-                                    t[5], radius_max=radius_desc),
+        _desc_body,
         (ch(s_layer), ch(s_rf), ch(s_cf), ch(s_scl), ch(s_angle), ch(sel_ok)),
-    ).reshape(k_kp, DESCR_WIDTH * DESCR_WIDTH * DESCR_HIST_BINS)
+    ).reshape(k_kp, dwidth)
 
     return sel_ok, s_cf, s_rf, s_li, s_scl, s_resp, s_angle, desc
 

@@ -514,42 +514,62 @@ def _gather_windows_3d(vol, xi, yi, zi, r):
 
 
 @functools.partial(jax.jit, static_argnames=("r", "chunk"))
-def orient_keypoints(vol, xi, yi, zi, scale, units, grad_threshold, beta,
-                     gamma, *, r, chunk):
+def orient_keypoints(vol, xi, yi, zi, ok_in, scale, units, grad_threshold,
+                     beta, gamma, *, r, chunk):
     """Device window gather + assign_orientation, streamed in lax.map chunks.
-    Returns (rot [K, 3, 3], ok [K])."""
+    Candidates are front-compacted (extrema_compact), so all-padding chunks
+    skip the gather+histogram entirely via lax.cond — at Torus scale the
+    static k_cap is far above the real extremum count and the skipped
+    chunks dominate.  Returns (rot [K, 3, 3], ok [K])."""
     dz, dy, dx = vol.shape
     dims = jnp.array([dx, dy, dz], jnp.int32)
     nch = max(xi.shape[0] // chunk, 1)
     ch = lambda a: a.reshape(nch, -1)
 
     def body(args):
-        xc, yc, zc = args
-        win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
-        return assign_orientation(win, x0, y0, z0, xc, yc, zc, dims,
-                                  scale, units, grad_threshold, beta, gamma)
+        xc, yc, zc, okc = args
 
-    rot, ok = jax.lax.map(body, (ch(xi), ch(yi), ch(zi)))
+        def live(_):
+            win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
+            return assign_orientation(win, x0, y0, z0, xc, yc, zc, dims,
+                                      scale, units, grad_threshold, beta,
+                                      gamma)
+
+        def dead(_):
+            c = xc.shape[0]
+            return (jnp.zeros((c, 3, 3), jnp.float32), jnp.zeros((c,), bool))
+
+        return jax.lax.cond(jnp.any(okc), live, dead, None)
+
+    rot, ok = jax.lax.map(body, (ch(xi), ch(yi), ch(zi), ch(ok_in)))
     return rot.reshape(-1, 3, 3), ok.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "chunk"))
-def describe_keypoints(vol, xi, yi, zi, rot, scale, units, truncate, *,
+def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
                        r, chunk):
     """Device window gather + construct_descriptor, streamed in chunks.
-    Returns desc [K, 768]."""
+    All-padding chunks (front-compacted survivors, see orient_keypoints)
+    skip the descriptor pipeline via lax.cond.  Returns desc [K, 768]."""
     dz, dy, dx = vol.shape
     dims = jnp.array([dx, dy, dz], jnp.int32)
     nch = max(xi.shape[0] // chunk, 1)
     ch = lambda a: a.reshape(nch, -1, *a.shape[1:])
 
     def body(args):
-        xc, yc, zc, rc = args
-        win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
-        return construct_descriptor(win, x0, y0, z0, xc, yc, zc, dims, rc,
-                                    scale, units, truncate)
+        xc, yc, zc, okc, rc = args
 
-    desc = jax.lax.map(body, (ch(xi), ch(yi), ch(zi), ch(rot)))
+        def live(_):
+            win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
+            return construct_descriptor(win, x0, y0, z0, xc, yc, zc, dims,
+                                        rc, scale, units, truncate)
+
+        def dead(_):
+            return jnp.zeros((xc.shape[0], 768), jnp.float32)
+
+        return jax.lax.cond(jnp.any(okc), live, dead, None)
+
+    desc = jax.lax.map(body, (ch(xi), ch(yi), ch(zi), ch(ok_in), ch(rot)))
     return desc.reshape(-1, 768)
 
 
