@@ -292,21 +292,32 @@ class SIFT3D:
         seed = vol
         for m in range(cfg.n_octave):
             base = m * lpo_g
-            lays = layers[base : base + lpo_g]
-            # one fused program per octave: downsample + pyramid + DoG
-            g_vols, dog = ops3d.octave_stack(
-                seed,
-                sigmas=tuple(l.sigma for l in lays),
-                units=tuple(tuple(l.units) for l in lays),
-                down_to=None if m == 0 else tuple(lays[0].dims))
+            g_vols: List[jnp.ndarray] = []
+            for n in range(lpo_g):
+                lay = layers[base + n]
+                if n == 0:
+                    if m == 0:
+                        v = ops3d.gaussian_blur(seed, lay.sigma, lay.units)
+                    else:
+                        dz_, dy_, dx_ = lay.dims
+                        v = seed[: 2 * dz_ : 2, : 2 * dy_ : 2, : 2 * dx_ : 2]
+                else:
+                    v = ops3d.gaussian_blur(g_vols[n - 1], lay.sigma,
+                                            lay.units)
+                g_vols.append(v)
             seed = g_vols[cfg.n_octave_layers]  # next octave's source
+
+            dog = [ops3d.dog_layer(g_vols[n + 1], g_vols[n])
+                   for n in range(lpo_g - 1)]
 
             for n in range(1, cfg.n_octave_layers + 1):
                 g = layers[base + n]
                 voxels = int(np.prod(g.dims))
                 k_e = int(np.clip(voxels // 1024, 256, 65536))
                 k_e = 1 << (k_e - 1).bit_length()  # pow2: lax.map chunking
-                k_d = max(k_e // 2, 256)
+                x, y, z, ok = ops3d.extrema_compact(
+                    dog[n - 1][0], dog[n][0], dog[n + 1][0],
+                    cfg.alpha * dog[n][1], k_cap=k_e)
 
                 scale = g.scale
                 units = jnp.asarray(np.array(g.units, np.float32))
@@ -316,21 +327,27 @@ class SIFT3D:
                 sphere = 2.0 * 5.0 * math.sqrt(2.0) * scale
                 r_desc = min(
                     _bucket8(int(math.ceil(sphere / g.units[0])) + 1), r_cap)
-                chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
-                chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
 
-                # one fused program per layer: extrema + orientation +
-                # survivor compaction + descriptors
-                xd, yd, zd, okd, desc = ops3d.layer_features(
-                    g_vols[n], dog[n - 1][0], dog[n][0], dog[n + 1][0],
-                    dog[n][1], jnp.float32(cfg.alpha), jnp.float32(scale),
-                    units, jnp.float32(cfg.gradient_threshold),
+                chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
+                rot, ok2 = ops3d.orient_keypoints(
+                    g_vols[n], x, y, z, ok, jnp.float32(scale), units,
+                    jnp.float32(cfg.gradient_threshold),
                     jnp.float32(cfg.beta), jnp.float32(cfg.gamma),
-                    jnp.float32(cfg.truncate_threshold),
-                    k_e=k_e, k_d=k_d, r_orient=r_orient, r_desc=r_desc,
-                    chunk_o=chunk_o, chunk_d=chunk_d)
+                    r=r_orient, chunk=chunk_o)
+                ok = ok & ok2
+
+                # compact survivors so the (much wider) descriptor windows
+                # only run on plausible keypoints
+                k_d = max(k_e // 2, 256)
+                idx, okd = ops3d.compact_keypoints(ok, k_d)
+                xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
+                chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
+                desc = ops3d.describe_keypoints(
+                    g_vols[n], xd, yd, zd, okd, rotd, jnp.float32(scale),
+                    units, jnp.float32(cfg.truncate_threshold),
+                    r=r_desc, chunk=chunk_d)
                 staged.append((xd, yd, zd, okd, desc, m, n, scale))
-                self._progress(f"octave {m} layer {n}: program queued "
+                self._progress(f"octave {m} layer {n}: programs queued "
                                f"(k_e={k_e}, r_o={r_orient}, r_d={r_desc})")
 
             # drain this octave (desc is the terminal consumer of g_vols)

@@ -573,51 +573,6 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
     return desc.reshape(-1, 768)
 
 
-@functools.partial(jax.jit, static_argnames=("sigmas", "units", "down_to"))
-def octave_stack(seed, *, sigmas, units, down_to=None):
-    """One fused program per octave: (for octaves > 0) the stride-2
-    downsample of the previous octave's seed layer, all Gaussian layers, and
-    all DoG layers with their max-|.| — one dispatch instead of ~12.  Through
-    a high-latency launch path (the axon tunnel, or any remote runtime) the
-    per-octave dispatch count, not the convolutions, dominates wall time.
-
-    ``sigmas``/``units`` are per-layer statics; ``sigmas[0]`` is used only
-    when ``down_to`` is None (first octave blurs the input volume,
-    oc_sift.cpp:700-704; later octaves seed by downsampling, :706-711)."""
-    if down_to is not None:
-        seed = downsample(seed, down_to)
-        g = [seed]
-    else:
-        g = [gaussian_blur(seed, sigmas[0], units[0])]
-    for n in range(1, len(sigmas)):
-        g.append(gaussian_blur(g[-1], sigmas[n], units[n]))
-    dogs = [dog_layer(g[n + 1], g[n]) for n in range(len(sigmas) - 1)]
-    return tuple(g), tuple(dogs)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("k_e", "k_d", "r_orient", "r_desc", "chunk_o",
-                     "chunk_d"))
-def layer_features(g_vol, dog_prev, dog_cur, dog_next, dog_cur_max, alpha,
-                   scale, units_v, grad_threshold, beta, gamma, truncate, *,
-                   k_e, k_d, r_orient, r_desc, chunk_o, chunk_d):
-    """One fused program per (octave, layer): extrema compaction,
-    orientation, survivor compaction and descriptors (one dispatch instead
-    of ~8 — see octave_stack)."""
-    x, y, z, ok = extrema_compact(dog_prev, dog_cur, dog_next,
-                                  alpha * dog_cur_max, k_cap=k_e)
-    rot, ok2 = orient_keypoints(g_vol, x, y, z, ok, scale, units_v,
-                                grad_threshold, beta, gamma,
-                                r=r_orient, chunk=chunk_o)
-    ok = ok & ok2
-    idx, okd = compact_keypoints(ok, k_d)
-    xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
-    desc = describe_keypoints(g_vol, xd, yd, zd, okd, rotd, scale, units_v,
-                              truncate, r=r_desc, chunk=chunk_d)
-    return xd, yd, zd, okd, desc
-
-
 @functools.partial(jax.jit, static_argnames=("k_cap",))
 def compact_keypoints(ok, k_cap):
     """Scan-order compaction of a validity mask: (idx [k_cap], ok [k_cap])."""
