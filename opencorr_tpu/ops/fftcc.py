@@ -81,6 +81,46 @@ def fftcc2d(
 
     flat = corr.reshape(n, wh * ww)
     idx = jnp.argmax(flat, axis=1)
+
+    # Exact peak re-rank (TPU determinism): the TPU f32 FFT carries enough
+    # last-bit noise to flip ~3% of near-tie correlation peaks vs the
+    # reference's FFTW path.  The true argmax is recoverable exactly for
+    # 8-bit images: over the circular window the zero-mean correction
+    # -S*mean_r*mean_t is shift-independent, so argmax_d corr_zm[d] =
+    # argmax_d sum(R * T_shift_d), an integer <= 2rx*2ry*255^2 < 2^31 that
+    # int32 computes exactly.  Re-evaluate the top-16 f32 candidates with the
+    # exact integer sum; exact ties take the first flat index in scan order,
+    # matching the reference's strict-> first-max loop (oc_fftcc.cpp:246-255).
+    # Non-integral images (nothing upstream produces them; guards generality)
+    # keep the f32 argmax.  Measured vs the oht_cfrp_4 golden u0/v0 on TPU:
+    # 96.65% exact match without the re-rank; 99.91% with top-4, 99.99% with
+    # top-16 (2/30000 residual — true f64-level ties where FFTW's own
+    # rounding picks the other bin, identical to a full-f64 replay).
+    ri = jnp.round(ref_w)
+    ti = jnp.round(tar_w)
+    is_int = (
+        jnp.all(ref_w == ri, axis=(1, 2)) & jnp.all(tar_w == ti, axis=(1, 2))
+    )
+    ri_flat = ri.reshape(n, wh * ww).astype(jnp.int32)
+    ti_flat = ti.reshape(n, wh * ww).astype(jnp.int32)
+    _, cand = jax.lax.top_k(flat, 16)  # [N, 16], first-occurrence tie order
+    yy, xx = jnp.divmod(jnp.arange(wh * ww, dtype=jnp.int32), ww)
+    scores = []
+    for j in range(16):
+        dv_j = (cand[:, j] // ww).astype(jnp.int32)
+        du_j = (cand[:, j] % ww).astype(jnp.int32)
+        src = ((yy[None, :] + dv_j[:, None]) % wh) * ww + (
+            (xx[None, :] + du_j[:, None]) % ww
+        )
+        tg = jnp.take_along_axis(ti_flat, src, axis=1)
+        scores.append(jnp.sum(ri_flat * tg, axis=1))
+    scores = jnp.stack(scores, axis=1)  # [N, 16] exact int32
+    best = jnp.max(scores, axis=1, keepdims=True)
+    idx_exact = jnp.min(
+        jnp.where(scores == best, cand, wh * ww), axis=1
+    ).astype(idx.dtype)
+    idx = jnp.where(is_int, idx_exact, idx)
+
     peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
     du = (idx % ww).astype(jnp.int32)
     dv = (idx // ww).astype(jnp.int32)
@@ -122,6 +162,11 @@ def fftcc3d(
     The reference 3D path has no boundary guard; one is added here (windows that
     would cross the volume edge are skipped like the 2D path) since a clamped
     gather would silently correlate wrong data.
+
+    The 2D path's exact integer peak re-rank is not applied in 3D: the window
+    integer correlation reaches (2r)^3 * 255^2 (~1.4e10 at r=30), overflowing
+    int32, and there is no committed 3D golden to calibrate against; the f32
+    peak is handed to ICGN3D which absorbs +-1 voxel like the 2D chain.
     """
     dz, dy, dx = ref_vol.shape
     n = xs.shape[0]

@@ -31,11 +31,13 @@ def test_fftcc_icgn1_vs_golden_subsample():
     pois = f.compute(pois)
     # Integer guesses match the golden u0/v0 exactly except for exact
     # correlation-peak ties (2/30000 on the full grid, where FFTW's last-bit
-    # rounding picks the other bin; argmax tie-break itself matches the
-    # reference's first-max-in-scan-order, oc_fftcc.cpp:246-255).
+    # rounding picks the other bin).  The exact integer peak re-rank in
+    # ops/fftcc.py makes this hold on TPU too (the TPU f32 FFT alone flips
+    # ~3% of near-ties); tie-break matches the reference's
+    # first-max-in-scan-order (oc_fftcc.cpp:246-255).
     u0 = np.asarray(pois.u)
     v0 = np.asarray(pois.v)
-    assert ((u0 == g[:, 4]) & (v0 == g[:, 5])).mean() > 0.995
+    assert ((u0 == g[:, 4]) & (v0 == g[:, 5])).mean() > 0.999
 
     icgn = oc.ICGN2D1(16, 16, 0.001, 10)
     icgn.set_images(ref, tar)
