@@ -101,6 +101,15 @@ def fftcc2d(
     is_int = (
         jnp.all(ref_w == ri, axis=(1, 2)) & jnp.all(tar_w == ti, axis=(1, 2))
     )
+    # Range guard: the exact path needs max|R|*max|T|*S < 2^31 (8-bit images
+    # give 1024*255^2 ~ 2^26; a 16-bit integral image would overflow int32
+    # and silently corrupt the argmax — fall back to the f32 peak there).
+    cap = (
+        jnp.max(jnp.abs(ri), axis=(1, 2))
+        * jnp.max(jnp.abs(ti), axis=(1, 2))
+        * (wh * ww)
+    )
+    is_int = is_int & (cap < 0.99 * 2.0**31)
     ri_flat = ri.reshape(n, wh * ww).astype(jnp.int32)
     ti_flat = ti.reshape(n, wh * ww).astype(jnp.int32)
     _, cand = jax.lax.top_k(flat, 16)  # [N, 16], first-occurrence tie order

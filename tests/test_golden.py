@@ -48,10 +48,13 @@ def test_fftcc_icgn1_vs_golden_subsample():
     z = np.asarray(pois.zncc)
     ok = (g[:, 6] > 0) & (z > 0)
     assert ok.mean() > 0.9
+    # With the exact integer peak re-rank, the full-grid TPU run reproduces
+    # the golden field to 2.4e-7 px mean / 1.1e-6 px p99 (f32 ulp level) —
+    # the threshold below only leaves headroom for a subsampled tie POI.
     du = np.abs(u - g[:, 2])[ok]
     dv = np.abs(v - g[:, 3])[ok]
-    assert du.mean() < 0.01, du.mean()
-    assert dv.mean() < 0.01, dv.mean()
+    assert du.mean() < 1e-3, du.mean()
+    assert dv.mean() < 1e-3, dv.mean()
     # ZNCC agreement
     assert np.abs(z - g[:, 6])[ok].mean() < 1e-3
 

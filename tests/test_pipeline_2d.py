@@ -37,6 +37,54 @@ def test_fftcc_chained_initial_guess(speckle_pair_2d):
     assert np.all(np.asarray(out.r[:, poi_mod.R_U0]) == 2.0)
 
 
+def test_fftcc_exact_rerank_matches_f64(speckle_pair_2d):
+    """For 8-bit images the exact int32 peak re-rank (ops/fftcc.py) must
+    reproduce the f64 circular-correlation argmax (first max in scan order,
+    oc_fftcc.cpp:246-255) on every POI."""
+    ref, tar, tu, tv = speckle_pair_2d
+    r8 = np.clip(np.round(ref), 0, 255).astype(np.float32)
+    t8 = np.clip(np.round(tar), 0, 255).astype(np.float32)
+    pois = oc.poi_grid_2d((30, 30), 12, 12, 9)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(oc.Image2D(r8), oc.Image2D(t8))
+    out = f.compute(pois)
+    u = np.asarray(out.u)
+    v = np.asarray(out.v)
+
+    x = np.asarray(pois.x).astype(int)
+    y = np.asarray(pois.y).astype(int)
+    rx = ry = 10
+    for i in range(len(x)):
+        rw = r8[y[i] - ry : y[i] + ry, x[i] - rx : x[i] + rx].astype(np.float64)
+        tw = t8[y[i] - ry : y[i] + ry, x[i] - rx : x[i] + rx].astype(np.float64)
+        rz = rw - rw.mean()
+        tz = tw - tw.mean()
+        corr = np.fft.irfft2(np.conj(np.fft.rfft2(rz)) * np.fft.rfft2(tz),
+                             s=(2 * ry, 2 * rx))
+        k = int(np.argmax(corr))
+        du, dv = k % (2 * rx), k // (2 * rx)
+        du = du - 2 * rx if du > rx else du
+        dv = dv - 2 * ry if dv > ry else dv
+        assert u[i] == du and v[i] == dv, (i, u[i], v[i], du, dv)
+
+
+def test_fftcc_16bit_range_guard(speckle_pair_2d):
+    """Integral images whose correlation would overflow int32 (16-bit scale)
+    must fall back to the f32 peak, not silently corrupt the argmax."""
+    ref, tar, tu, tv = speckle_pair_2d
+    r16 = np.clip(np.round(ref), 0, 255).astype(np.float32) * 257.0
+    t16 = np.clip(np.round(tar), 0, 255).astype(np.float32) * 257.0
+    pois = oc.poi_grid_2d((30, 30), 10, 8, 12)
+    f = oc.FFTCC2D(10, 10)
+    f.set_images(oc.Image2D(r16), oc.Image2D(t16))
+    out = f.compute(pois)
+    u = np.asarray(out.u)
+    v = np.asarray(out.v)
+    # intensity scaling must not change the recovered displacement
+    assert np.all(np.abs(u - tu) < 2) and np.all(np.abs(v - tv) < 2)
+    assert np.asarray(out.zncc).min() > 0.5
+
+
 def test_icgn1_subpixel(speckle_pair_2d):
     ref, tar, tu, tv = speckle_pair_2d
     pois = oc.poi_grid_2d((30, 30), 10, 8, 12)
