@@ -33,56 +33,239 @@ def _pad_len(n: int, chunk: int) -> int:
     return (n + chunk - 1) // chunk * chunk
 
 
+import collections
 import os as _os
 
 # Chunks per lax.scan dispatch in chunked() (1 = plain per-chunk host loop).
 SCAN_GROUP = int(_os.environ.get("OPENCORR_TPU_SCAN_GROUP", "8"))
 
 
-def chunked(fn, table, chunk_size: Optional[int], *extras):
-    """Apply ``fn(sub_table, *sub_extras) -> sub_table`` over fixed-size POI
-    chunks.  ``extras`` are optional per-POI arrays (leading axis = queue
-    length, e.g. EpipolarSearch's center offsets) padded and sliced alongside
-    the table.
+class Memo:
+    """One-slot keyed memo for device-resident per-call constants.
+
+    Model ``compute()`` wrappers used to rebuild scalar parameters with
+    ``jnp.float32(...)`` on every call; through the axon tunnel each fresh
+    host->device buffer is a dispatch, and a fresh buffer in a run-closure's
+    cells defeats the chunked() program cache (see ``_fn_key``).  Memoizing on
+    the parameter values keeps the SAME device objects across calls until a
+    setter changes them."""
+
+    __slots__ = ("_key", "_val")
+
+    def __init__(self):
+        self._key = object()  # never equal to a user key
+        self._val = None
+
+    def get(self, key, build):
+        if key != self._key:
+            self._val = build()
+            self._key = key
+        return self._val
+
+    def clear(self):
+        self._key = object()
+        self._val = None
+
+
+_VAL_TYPES = (int, float, bool, str, bytes, type(None))
+
+
+def _fn_key(fn):
+    """Stable cache identity for a run-closure: its code object plus the
+    identity (or value, for plain Python scalars) of every captured cell and
+    default.  A model that re-runs ``prepare()`` rebinds new device buffers
+    into a structurally identical closure — the changed ids yield a new key,
+    so a stale compiled program (whose baked constants reference the OLD
+    buffers) can never be reused.  id() reuse is safe: the cached programs
+    retain references to the captured objects, so their ids stay occupied for
+    the life of the cache entry."""
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return ("obj", fn)  # jitted fn / callable object: identity-stable
+    cells = []
+    for c in fn.__closure__ or ():
+        try:
+            v = c.cell_contents
+        except ValueError:  # empty cell
+            cells.append(("empty",))
+            continue
+        cells.append(("v", v) if isinstance(v, _VAL_TYPES) else ("id", id(v)))
+    dflts = tuple(
+        ("v", d) if isinstance(d, _VAL_TYPES) else ("id", id(d))
+        for d in fn.__defaults__ or ())
+    return ("code", code, tuple(cells), dflts)
+
+
+class _ChunkPrograms:
+    """The four jitted programs behind one chunked() call site: pad, group
+    scan, tail chunk, concat+unpad.  Compiled once per (closure identity,
+    bundle structure, chunk size) and reused across calls — the previous eager
+    implementation re-traced the scan body and paid ~30 eager dispatch sends
+    per call, which dominated the chunk-path stage times (e.g. the
+    FeatureAffine RANSAC kernel itself is ~60 us pipelined at 30k POIs)."""
+
+    def __init__(self, fn, treedef, is_arr, n_flat, const_treedef, chunk,
+                 group):
+        self.chunk = chunk
+        self.group = group
+        # fn (and through it the model's device buffers) is retained here,
+        # keeping every id in the cache key occupied — see _fn_key.
+        self.fn = fn
+
+        def split(args):
+            return list(args[:n_flat]), jax.tree_util.tree_unflatten(
+                const_treedef, list(args[n_flat:]))
+
+        def unflatten_sub(flat, subs):
+            it = iter(subs)
+            leaves = [next(it) if arr else a for a, arr in zip(flat, is_arr)]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def pad_body(pad, *flat):
+            return [
+                jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1), mode="edge")
+                if arr else a
+                for a, arr in zip(flat, is_arr)
+            ]
+
+        def tail_body(start, *args):
+            flat, consts = split(args)
+            subs = [jax.lax.dynamic_slice_in_dim(a, start, chunk, 0)
+                    for a, arr in zip(flat, is_arr) if arr]
+            return fn(*unflatten_sub(flat, subs), *consts)
+
+        def group_body(start, *args):
+            flat, consts = split(args)
+            stacked = [
+                jax.lax.dynamic_slice_in_dim(a, start, group * chunk, 0)
+                .reshape((group, chunk) + a.shape[1:])
+                for a, arr in zip(flat, is_arr) if arr
+            ]
+
+            def body(_, xs):
+                return None, fn(*unflatten_sub(flat, list(xs)), *consts)
+
+            _, out = jax.lax.scan(body, None, stacked)
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((group * chunk,) + a.shape[2:])
+                if a.ndim > 1 else a, out)
+
+        def cat_body(n, outs):
+            cat = outs[0] if len(outs) == 1 else jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate([jnp.atleast_1d(x) for x in xs],
+                                            0), *outs)
+            return jax.tree_util.tree_map(
+                lambda a: a[:n] if a.ndim else a, cat)
+
+        self.pad = jax.jit(pad_body, static_argnums=0)
+        self.tail = jax.jit(tail_body)
+        self.group_run = jax.jit(group_body)
+        self.cat = jax.jit(cat_body, static_argnums=0)
+
+    def run(self, flat, const_flat, n):
+        chunk, group = self.chunk, self.group
+        padded = _pad_len(n, chunk)
+        pad = padded - n
+        k = padded // chunk
+        g, tail = divmod(k, group)
+        big = list(self.pad(pad, *flat)) if pad else list(flat)
+        args = big + list(const_flat)
+        outs = []
+        for i in range(g):
+            outs.append(self.group_run(i * group * chunk, *args))
+        for j in range(tail):
+            outs.append(self.tail((g * group + j) * chunk, *args))
+        return self.cat(n, tuple(outs))
+
+
+_CHUNK_PROGRAMS = collections.OrderedDict()
+_CHUNK_CAP = 32
+# code objects whose closures churn captured objects call-to-call: compiled
+# programs would never be reused, so route them to the eager path instead
+_KEYS_PER_CODE = collections.defaultdict(set)
+_UNSTABLE_LIMIT = 4
+
+
+def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
+    """Apply ``fn(sub_table, *sub_extras, *consts) -> sub_table`` over
+    fixed-size POI chunks.  ``extras`` are optional per-POI arrays (leading
+    axis = queue length, e.g. EpipolarSearch's center offsets) padded and
+    sliced alongside the table.  ``consts`` are loop-invariant arrays passed
+    WHOLE to every chunk (e.g. strain's full-table neighbor-source fields) —
+    they enter the compiled programs as traced arguments, so per-call derived
+    arrays don't defeat the program cache.
 
     ``fn`` must be shape-polymorphic only in data values.  Chunks are run in
     groups of ``SCAN_GROUP`` as one ``lax.scan`` program per group — the body
     compiles once at the chunk shape (bounding XLA graph size and device
     working set) and each group is ONE device dispatch, cutting per-chunk
     dispatch round-trips (the tunnel adds ~0.5 ms each) by the group factor.
-    The group size is fixed, so one compiled [group, chunk] program serves
-    every group and every queue length; tail chunks (< one group) fall back
-    to per-chunk calls of ``fn``'s own chunk-shape program.  Raise
+    Tail chunks (< one group) run as per-chunk programs.  Raise
     ``OPENCORR_TPU_SCAN_GROUP`` on real hardware for fewer dispatches (the
     sandbox's TPU worker dies on scans longer than ~8 of the heavier
     bodies); 1 disables scanning entirely.
+
+    All glue (pad / slice / scan / concat / unpad) runs as jitted programs
+    cached on ``_fn_key(fn)`` — closures must therefore capture their device
+    buffers directly (locals or memoized scalars), NOT rebuild them per call;
+    per-call derived arrays belong in ``consts``.  Closures whose captures
+    churn anyway are detected (>= ``_UNSTABLE_LIMIT`` distinct keys for one
+    code object) and demoted to an uncached eager path.
     """
     n = table.n
     if chunk_size is None or n <= chunk_size:
-        return fn(table, *extras)
+        return fn(table, *extras, *consts)
+    bundle = (table,) + extras
+    flat, treedef = jax.tree_util.tree_flatten(bundle)
+    is_arr = tuple(getattr(a, "ndim", 0) > 0 for a in flat)
+    const_flat, const_treedef = jax.tree_util.tree_flatten(consts)
+    group = max(1, SCAN_GROUP)
+
+    fkey = _fn_key(fn)
+    code = fkey[1] if fkey[0] == "code" else fkey
+    key = (fkey, treedef, is_arr, const_treedef, chunk_size, group)
+    progs = _CHUNK_PROGRAMS.get(key)
+    if progs is None:
+        seen = _KEYS_PER_CODE[code]
+        if len(seen) >= _UNSTABLE_LIMIT and key not in seen:
+            return _chunked_eager(fn, flat, treedef, is_arr, const_flat,
+                                  const_treedef, n, chunk_size, group)
+        seen.add(key)
+        progs = _ChunkPrograms(fn, treedef, is_arr, len(flat), const_treedef,
+                               chunk_size, group)
+        _CHUNK_PROGRAMS[key] = progs
+        while len(_CHUNK_PROGRAMS) > _CHUNK_CAP:
+            old_key, _ = _CHUNK_PROGRAMS.popitem(last=False)
+            ocode = old_key[0][1] if old_key[0][0] == "code" else old_key[0]
+            _KEYS_PER_CODE[ocode].discard(old_key)
+    else:
+        _CHUNK_PROGRAMS.move_to_end(key)
+    return progs.run(flat, const_flat, n)
+
+
+def _chunked_eager(fn, flat, treedef, is_arr, const_flat, const_treedef, n,
+                   chunk_size, group):
+    """Uncached fallback for unstable closures: the round-1 eager glue."""
     padded = _pad_len(n, chunk_size)
     pad = padded - n
     k = padded // chunk_size
-    group = max(1, SCAN_GROUP)
     g, tail = divmod(k, group)
+    consts = jax.tree_util.tree_unflatten(const_treedef, list(const_flat))
 
     def pad_leaf(a):
         widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(jnp.asarray(a), widths, mode="edge")
 
-    bundle = (table,) + extras
-    flat, treedef = jax.tree_util.tree_flatten(bundle)
-    is_arr = [getattr(a, "ndim", 0) > 0 for a in flat]
     big = [pad_leaf(a) if arr else a for a, arr in zip(flat, is_arr)]
 
     def body(_, xs):
         it = iter(xs)
         sub_flat = [next(it) if arr else a for a, arr in zip(flat, is_arr)]
-        out = fn(*jax.tree_util.tree_unflatten(treedef, sub_flat))
+        out = fn(*jax.tree_util.tree_unflatten(treedef, sub_flat), *consts)
         return None, out
 
     outs = []
-    for i in range(g):  # full groups: one scan dispatch each
+    for i in range(g):
         stacked = [
             jax.lax.dynamic_slice_in_dim(
                 a, i * group * chunk_size, group * chunk_size, 0
@@ -93,14 +276,15 @@ def chunked(fn, table, chunk_size: Optional[int], *extras):
         outs.append(jax.tree_util.tree_map(
             lambda a: a.reshape((group * chunk_size,) + a.shape[2:])
             if a.ndim > 1 else a, out))
-    for j in range(tail):  # tail chunks: chunk-shape program
+    for j in range(tail):
         start = (g * group + j) * chunk_size
         sub_flat = [
             jax.lax.dynamic_slice_in_dim(a, start, chunk_size, 0)
             if arr else a
             for a, arr in zip(big, is_arr)
         ]
-        outs.append(fn(*jax.tree_util.tree_unflatten(treedef, sub_flat)))
+        outs.append(fn(
+            *jax.tree_util.tree_unflatten(treedef, sub_flat), *consts))
 
     if len(outs) == 1:
         cat = outs[0]
@@ -121,6 +305,7 @@ class Module2D:
         self.ref_img: Optional[jnp.ndarray] = None
         self.tar_img: Optional[jnp.ndarray] = None
         self.self_adaptive = False
+        self._memo = Memo()
 
     def set_images(self, ref_img, tar_img) -> None:
         self.ref_img = jnp.asarray(_as_mat(ref_img), jnp.float32)
@@ -147,6 +332,7 @@ class Module3D:
         self.subset_radius_z = int(subset_radius_z)
         self.ref_vol: Optional[jnp.ndarray] = None
         self.tar_vol: Optional[jnp.ndarray] = None
+        self._memo = Memo()
 
     def set_images(self, ref_vol, tar_vol) -> None:
         self.ref_vol = jnp.asarray(_as_mat(ref_vol), jnp.float32)

@@ -95,17 +95,24 @@ class EpipolarSearch(base.Module2D):
             offsets[1 + 2 * j] = i
             offsets[2 + 2 * j] = -i
 
-        fmat = jnp.asarray(self.fundamental_matrix)
-        par_x = jnp.asarray(self.parallax_x)
-        par_y = jnp.asarray(self.parallax_y)
-        conv = jnp.float32(self.icgn1.conv_criterion)
-        max_iter = jnp.float32(self.icgn1.stop_condition)
-        offs = jnp.asarray(offsets)
+        gx, gy, ref_img = self.icgn1._gx, self.icgn1._gy, self.ref_img
+        lut = self.icgn1._lut
+        fmat, par_x, par_y, conv, max_iter, offs = self._memo.get(
+            (np.asarray(self.fundamental_matrix).tobytes(),
+             self.parallax_x.tobytes(),
+             self.parallax_y.tobytes(), self.icgn1.conv_criterion,
+             self.icgn1.stop_condition, self.search_radius, self.search_step),
+            lambda: (jnp.asarray(self.fundamental_matrix),
+                     jnp.asarray(self.parallax_x),
+                     jnp.asarray(self.parallax_y),
+                     jnp.float32(self.icgn1.conv_criterion),
+                     jnp.float32(self.icgn1.stop_condition),
+                     jnp.asarray(offsets)))
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             p_best, r_best = _epipolar_compute(
-                self.icgn1._gx, self.icgn1._gy, self.ref_img,
-                self.icgn1._lut, fmat, par_x, par_y, offs,
+                gx, gy, ref_img,
+                lut, fmat, par_x, par_y, offs,
                 t.x, t.y, t.p, conv, max_iter,
                 rx=rx, ry=ry, half_w=w // 2, half_h=h // 2,
             )

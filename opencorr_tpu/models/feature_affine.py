@@ -104,13 +104,30 @@ class _CandidateCache:
         self._entries = []
 
 
+# Device-resident keypoint buffers and scalar parameters are memoized
+# (base.Memo): compute() used to rebuild them with jnp.asarray/jnp.float32
+# every call — through the axon tunnel each fresh host->device buffer costs a
+# dispatch round trip (the RANSAC kernel itself is ~60 us pipelined at 30k
+# POIs), and fresh objects in the run-closure's cells defeat chunked()'s
+# program cache (base._fn_key).
+_DeviceArgCache = base.Memo
+
+
 def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
     """Host k-d tree candidate stage mirroring the device kernel's semantics
     (and the reference's nanoflann radius search with KNN fallback,
     oc_feature_affine.cpp:182-222): per query point, the ``kc`` nearest
     keypoints ascending by distance; candidates are the in-radius ones when
     their count reaches ``neighbor_min``, else the nearest ``neighbor_min``.
-    Returns (idx[N, kc] int32, cand_mask[N, kc] bool, enough[N] bool)."""
+    Returns (idx[N, kc_eff] int32, cand_mask[N, kc_eff] bool, enough[N] bool).
+
+    kc trim: candidates are sorted ascending by distance, so the kept set
+    (in-radius, or nearest ``neighbor_min`` fallback) is always a PREFIX of
+    the candidate row.  Columns past the longest prefix are all-masked padding
+    whose [N, T, kc]-shaped RANSAC tensors still cost HBM traffic — trim to
+    the max prefix length rounded up to a multiple of 16 (bit-identical
+    results; the random sample indices are drawn mod n_cand, independent of
+    kc)."""
     d, idx = tree.query(q, k=kc)
     if kc == 1:
         d, idx = d[:, None], idx[:, None]
@@ -120,7 +137,9 @@ def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
     cand_mask = np.where((nr >= neighbor_min)[:, None], in_r,
                          pos < neighbor_min)
     enough = nr >= samples
-    return (idx.astype(np.int32), cand_mask, enough)
+    keep = int(cand_mask.sum(1).max(initial=0))
+    kc_eff = min(kc, max(16, -(-max(keep, samples) // 16) * 16))
+    return (idx[:, :kc_eff].astype(np.int32), cand_mask[:, :kc_eff], enough)
 
 
 @dataclasses.dataclass
@@ -156,6 +175,7 @@ class FeatureAffine2D(base.Module2D):
         self.tar_kp: Optional[np.ndarray] = None
         self._tree = None
         self._cand = _CandidateCache()
+        self._dev = _DeviceArgCache()
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -173,6 +193,7 @@ class FeatureAffine2D(base.Module2D):
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 2)
         self._tree = None
         self._cand.clear()
+        self._dev.clear()
 
     def prepare(self, table=None, points=None):
         """Build the keypoint k-d tree (reference: prepare() builds the
@@ -210,12 +231,14 @@ class FeatureAffine2D(base.Module2D):
             raise RuntimeError("call set_keypoint_pair() first")
         if self.self_adaptive:
             return self._compute_self_adaptive(table)
-        ref_kp = jnp.asarray(self.ref_kp)
-        tar_kp = jnp.asarray(self.tar_kp)
-        radius = jnp.float32(self.neighbor_search_radius)
-        nmin = jnp.float32(self.neighbor_number_min)
-        thr = jnp.float32(self.ransac.error_threshold)
-        seed = jnp.int32(self.seed)
+        ref_kp, tar_kp, radius, nmin, thr, seed = self._dev.get(
+            (self.neighbor_search_radius, self.neighbor_number_min,
+             self.ransac.error_threshold, self.seed),
+            lambda: (jnp.asarray(self.ref_kp), jnp.asarray(self.tar_kp),
+                     jnp.float32(self.neighbor_search_radius),
+                     jnp.float32(self.neighbor_number_min),
+                     jnp.float32(self.ransac.error_threshold),
+                     jnp.int32(self.seed)))
         tr, sm = self.ransac.trial_number, self.ransac.sample_number
 
         if self.neighbor_backend == "host":
@@ -288,11 +311,14 @@ class FeatureAffine2D(base.Module2D):
 
         # RANSAC over exactly the KNN candidate sets
         # (oc_feature_affine.cpp:139-151).
-        ref_kp = jnp.asarray(self.ref_kp)
-        tar_kp = jnp.asarray(self.tar_kp)
-        nmin = jnp.float32(self.neighbor_number_min)
-        thr = jnp.float32(self.ransac.error_threshold)
-        seed = jnp.int32(self.seed)
+        ref_kp, tar_kp, radius, nmin, thr, seed = self._dev.get(
+            (self.neighbor_search_radius, self.neighbor_number_min,
+             self.ransac.error_threshold, self.seed),
+            lambda: (jnp.asarray(self.ref_kp), jnp.asarray(self.tar_kp),
+                     jnp.float32(self.neighbor_search_radius),
+                     jnp.float32(self.neighbor_number_min),
+                     jnp.float32(self.ransac.error_threshold),
+                     jnp.int32(self.seed)))
         tr, sm = self.ransac.trial_number, self.ransac.sample_number
 
         if self._tree is not None:
@@ -336,6 +362,7 @@ class FeatureAffine3D:
         self.tar_kp: Optional[np.ndarray] = None
         self._tree = None
         self._cand = _CandidateCache()
+        self._dev = _DeviceArgCache()
 
     def set_search(self, radius: float, neighbor_min: int):
         self.neighbor_search_radius = float(radius)
@@ -349,6 +376,7 @@ class FeatureAffine3D:
         self.tar_kp = np.asarray(tar_kp, np.float32).reshape(-1, 3)
         self._tree = None
         self._cand.clear()
+        self._dev.clear()
 
     def prepare(self, table=None, points=None):
         if self.neighbor_backend == "host" and self.ref_kp is not None:
@@ -380,12 +408,14 @@ class FeatureAffine3D:
     def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         if self.ref_kp is None:
             raise RuntimeError("call set_keypoint_pair() first")
-        ref_kp = jnp.asarray(self.ref_kp)
-        tar_kp = jnp.asarray(self.tar_kp)
-        radius = jnp.float32(self.neighbor_search_radius)
-        nmin = jnp.float32(self.neighbor_number_min)
-        thr = jnp.float32(self.ransac.error_threshold)
-        seed = jnp.int32(self.seed)
+        ref_kp, tar_kp, radius, nmin, thr, seed = self._dev.get(
+            (self.neighbor_search_radius, self.neighbor_number_min,
+             self.ransac.error_threshold, self.seed),
+            lambda: (jnp.asarray(self.ref_kp), jnp.asarray(self.tar_kp),
+                     jnp.float32(self.neighbor_search_radius),
+                     jnp.float32(self.neighbor_number_min),
+                     jnp.float32(self.ransac.error_threshold),
+                     jnp.int32(self.seed)))
         tr, sm = self.ransac.trial_number, self.ransac.sample_number
 
         if self.neighbor_backend == "host":

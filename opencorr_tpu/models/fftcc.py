@@ -61,10 +61,11 @@ class FFTCC2D(base.Module2D):
 
     def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         rx, ry = self.subset_radius_x, self.subset_radius_y
+        ref_img, tar_img = self.ref_img, self.tar_img
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             # u0/v0/zncc updated only for processed POIs (oc_fftcc.cpp:268-274)
-            p, r = _fftcc2d_full(self.ref_img, self.tar_img, t.x, t.y, t.p,
+            p, r = _fftcc2d_full(ref_img, tar_img, t.x, t.y, t.p,
                                  t.r, rx=rx, ry=ry)
             return t.replace(p=p, r=r)
 
@@ -82,9 +83,10 @@ class FFTCC3D(base.Module3D):
     def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
                       self.subset_radius_z)
+        ref_vol, tar_vol = self.ref_vol, self.tar_vol
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
-            p, r = _fftcc3d_full(self.ref_vol, self.tar_vol, t.x, t.y, t.z,
+            p, r = _fftcc3d_full(ref_vol, tar_vol, t.x, t.y, t.z,
                                  t.p, t.r, rx=rx, ry=ry, rz=rz)
             return t.replace(p=p, r=r)
 

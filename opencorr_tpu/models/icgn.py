@@ -116,14 +116,20 @@ class _ICGN2DBase(base.Module2D):
         if self.self_adaptive:
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
-        conv = jnp.float32(self.conv_criterion)
-        max_iter = jnp.float32(self.stop_condition)
+        order = self.order
+        # locals (not self attributes / fresh scalars): the run-closure's
+        # captured cells are chunked()'s program-cache key (base._fn_key)
+        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
+        conv, max_iter = self._memo.get(
+            (self.conv_criterion, self.stop_condition),
+            lambda: (jnp.float32(self.conv_criterion),
+                     jnp.float32(self.stop_condition)))
 
         def run(t: poi_mod.POITable2D, offs=None) -> poi_mod.POITable2D:
             p_out, r, sr = _icgn2d_full(
-                self._gx, self._gy, self.ref_img, self._lut,
+                gx, gy, ref_img, lut,
                 t.x, t.y, t.p, t.r, t.sr, conv, max_iter, offs,
-                order=self.order, rx=rx, ry=ry,
+                order=order, rx=rx, ry=ry,
             )
             return t.replace(p=p_out, r=r, sr=sr)
 
@@ -140,13 +146,17 @@ class _ICGN2DBase(base.Module2D):
 
         sr = np.asarray(table.sr)
         r_max = int(max(np.max(sr), 1))
-        conv = jnp.float32(self.conv_criterion)
-        max_iter = jnp.float32(self.stop_condition)
+        order = self.order
+        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
+        conv, max_iter = self._memo.get(
+            (self.conv_criterion, self.stop_condition),
+            lambda: (jnp.float32(self.conv_criterion),
+                     jnp.float32(self.stop_condition)))
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             return _icgn2d_adaptive_full(
-                self._gx, self._gy, self.ref_img, self._lut, t, conv,
-                max_iter, order=self.order, r_max=r_max)
+                gx, gy, ref_img, lut, t, conv,
+                max_iter, order=order, r_max=r_max)
 
         chunk = self.chunk_size
         if chunk is not None:
@@ -208,18 +218,22 @@ class ICGN3D1(base.Module3D):
             raise RuntimeError("call prepare() before compute()")
         rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
                       self.subset_radius_z)
-        conv = jnp.float32(self.conv_criterion)
-        max_iter = jnp.float32(self.stop_condition)
         chunk = self.chunk_size
         if chunk is None:
             # poi*voxel working-set budget: ~9M keeps the compile within HBM
             # for any radius while amortizing dispatch overhead
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
             chunk = max(8, 9_000_000 // s)
+        gx, gy, gz = self._gx, self._gy, self._gz
+        ref_vol, coeff = self.ref_vol, self._coeff
+        conv, max_iter = self._memo.get(
+            (self.conv_criterion, self.stop_condition),
+            lambda: (jnp.float32(self.conv_criterion),
+                     jnp.float32(self.stop_condition)))
 
         def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
-            return _icgn3d1_full(self._gx, self._gy, self._gz, self.ref_vol,
-                                 self._coeff, t, conv, max_iter,
+            return _icgn3d1_full(gx, gy, gz, ref_vol,
+                                 coeff, t, conv, max_iter,
                                  rx=rx, ry=ry, rz=rz)
 
         return base.chunked(run, table, chunk)

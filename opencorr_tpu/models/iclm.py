@@ -89,16 +89,20 @@ class _ICLM2DBase(base.Module2D):
         if self.self_adaptive:
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
-        conv = jnp.float32(self.conv_criterion)
-        max_iter = jnp.float32(self.stop_condition)
-        damping = jnp.array(
-            [self.damping_lambda, self.damping_alpha, self.damping_beta],
-            jnp.float32)
+        order = self.order
+        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
+        conv, max_iter, damping = self._memo.get(
+            (self.conv_criterion, self.stop_condition, self.damping_lambda,
+             self.damping_alpha, self.damping_beta),
+            lambda: (jnp.float32(self.conv_criterion),
+                     jnp.float32(self.stop_condition),
+                     jnp.array([self.damping_lambda, self.damping_alpha,
+                                self.damping_beta], jnp.float32)))
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
-            return _iclm2d_full(self._gx, self._gy, self.ref_img, self._lut,
+            return _iclm2d_full(gx, gy, ref_img, lut,
                                 t, conv, max_iter, damping,
-                                order=self.order, rx=rx, ry=ry)
+                                order=order, rx=rx, ry=ry)
 
         return base.chunked(run, table, self.chunk_size)
 
@@ -110,16 +114,20 @@ class _ICLM2DBase(base.Module2D):
 
         sr = np.asarray(table.sr)
         r_max = int(max(np.max(sr), 1))
-        conv = jnp.float32(self.conv_criterion)
-        max_iter = jnp.float32(self.stop_condition)
-        damping = jnp.array(
-            [self.damping_lambda, self.damping_alpha, self.damping_beta],
-            jnp.float32)
+        order = self.order
+        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
+        conv, max_iter, damping = self._memo.get(
+            (self.conv_criterion, self.stop_condition, self.damping_lambda,
+             self.damping_alpha, self.damping_beta),
+            lambda: (jnp.float32(self.conv_criterion),
+                     jnp.float32(self.stop_condition),
+                     jnp.array([self.damping_lambda, self.damping_alpha,
+                                self.damping_beta], jnp.float32)))
 
         def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
             return _iclm2d_adaptive_full(
-                self._gx, self._gy, self.ref_img, self._lut, t, conv,
-                max_iter, damping, order=self.order, r_max=r_max)
+                gx, gy, ref_img, lut, t, conv,
+                max_iter, damping, order=order, r_max=r_max)
 
         chunk = self.chunk_size
         if chunk is not None:

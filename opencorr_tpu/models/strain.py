@@ -41,6 +41,17 @@ class Strain:
         self.approximation = 1  # 1: Cauchy, 2: Green-Lagrange
         self.chunk_size = chunk_size
         self._cache = []  # [(weakref(x), kind, (radius, nmin), data)]
+        self._memo = base.Memo()
+
+    def _scalars(self):
+        """Device scalars memoized on their values (stable closure cells —
+        see base._fn_key)."""
+        return self._memo.get(
+            (self.subregion_radius, self.zncc_threshold,
+             self.neighbor_number_min),
+            lambda: (jnp.float32(self.subregion_radius),
+                     jnp.float32(self.zncc_threshold),
+                     jnp.float32(self.neighbor_number_min)))
 
     def set_subregion_radius(self, r: float):
         self.subregion_radius = float(r)
@@ -152,12 +163,8 @@ class Strain:
         raise TypeError(type(table))
 
     def _compute_2d(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
-        radius = jnp.float32(self.subregion_radius)
-        thr = jnp.float32(self.zncc_threshold)
-        nmin = jnp.float32(self.neighbor_number_min)
-        us = table.p[:, poi_mod.U]
-        vs = table.p[:, poi_mod.V]
-        zncc = table.r[:, poi_mod.R_ZNCC]
+        radius, thr, nmin = self._scalars()
+        approx = self.approximation
 
         def build():
             x_np, y_np = np.asarray(table.x), np.asarray(table.y)
@@ -168,42 +175,44 @@ class Strain:
                     self._neighbors(np.stack([x_np, y_np], axis=-1)))
 
         mode, data = self._cached(table.x, "2d", build)
+        # the full-table neighbor-source fields are per-call values: they ride
+        # the consts channel so the chunk-program cache stays hot across
+        # tables (base.chunked docstring)
+        consts = (table.x, table.y, table.p, table.r)
         if mode == "grid":
             iy, ix, lookup, di, dj = data
 
-            def run_g(t, iy_c, ix_c):
+            def run_g(t, iy_c, ix_c, xs, ys, p_all, r_all):
                 e = strain_ops.strain2d_grid(
-                    table.x, table.y, us, vs, zncc,
+                    xs, ys, p_all[:, poi_mod.U], p_all[:, poi_mod.V],
+                    r_all[:, poi_mod.R_ZNCC],
                     t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
                     iy_c, ix_c, lookup, di, dj,
-                    radius, thr, nmin, approximation=self.approximation,
+                    radius, thr, nmin, approximation=approx,
                 )
                 return t.replace(e=e)
 
-            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix)
+            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix,
+                                consts=consts)
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, p_all, r_all):
             e = strain_ops.strain2d(
-                table.x, table.y, us, vs, zncc,
+                xs, ys, p_all[:, poi_mod.U], p_all[:, poi_mod.V],
+                r_all[:, poi_mod.R_ZNCC],
                 t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=self.approximation,
+                radius, thr, nmin, approximation=approx,
             )
             return t.replace(e=e)
 
         return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
-                            nb_idx, nb_ok, use_radius)
+                            nb_idx, nb_ok, use_radius, consts=consts)
 
     def _compute_3d(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
-        radius = jnp.float32(self.subregion_radius)
-        thr = jnp.float32(self.zncc_threshold)
-        nmin = jnp.float32(self.neighbor_number_min)
-        us = table.p[:, poi_mod.U3]
-        vs = table.p[:, poi_mod.V3]
-        ws = table.p[:, poi_mod.W3]
-        zncc = table.r[:, poi_mod.R3_ZNCC]
+        radius, thr, nmin = self._scalars()
+        approx = self.approximation
 
         def build():
             x_np = np.asarray(table.x)
@@ -225,50 +234,46 @@ class Strain:
                 np.stack([x_np, y_np, z_np], axis=-1)))
 
         mode, data = self._cached(table.x, "3d", build)
+        consts = (table.x, table.y, table.z, table.p, table.r)
         if mode == "grid":
             iz_d, iy_d, ix_d, lookup_d, dk_d, di_d, dj_d = data
 
-            def run_g(t, iz_c, iy_c, ix_c):
+            def run_g(t, iz_c, iy_c, ix_c, xs, ys, zs, p_all, r_all):
                 e = strain_ops.strain3d_grid(
-                    table.x, table.y, table.z, us, vs, ws, zncc,
+                    xs, ys, zs, p_all[:, poi_mod.U3], p_all[:, poi_mod.V3],
+                    p_all[:, poi_mod.W3], r_all[:, poi_mod.R3_ZNCC],
                     t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
                     iz_c, iy_c, ix_c, lookup_d, dk_d, di_d, dj_d,
-                    radius, thr, nmin, approximation=self.approximation,
+                    radius, thr, nmin, approximation=approx,
                 )
                 return t.replace(e=e)
 
             return base.chunked(run_g, table, self._chunk(dk_d.shape[0]),
-                                iz_d, iy_d, ix_d)
+                                iz_d, iy_d, ix_d, consts=consts)
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, zs, p_all, r_all):
             e = strain_ops.strain3d(
-                table.x, table.y, table.z, us, vs, ws, zncc,
+                xs, ys, zs, p_all[:, poi_mod.U3], p_all[:, poi_mod.V3],
+                p_all[:, poi_mod.W3], r_all[:, poi_mod.R3_ZNCC],
                 t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=self.approximation,
+                radius, thr, nmin, approximation=approx,
             )
             return t.replace(e=e)
 
         return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
-                            nb_idx, nb_ok, use_radius)
+                            nb_idx, nb_ok, use_radius, consts=consts)
 
     def _compute_2ds(self, table: poi_mod.POITable2DS) -> poi_mod.POITable2DS:
         """Stereo strain: fit against reconstructed 3D ref_coor deltas; a POI
         participates only if all three ZNCCs pass (oc_strain.cpp:250-355)."""
-        radius = jnp.float32(self.subregion_radius)
-        thr = jnp.float32(self.zncc_threshold)
-        nmin = jnp.float32(self.neighbor_number_min)
+        radius, thr, nmin = self._scalars()
+        approx = self.approximation
         # neighborhood search runs on the 2D image coords (oc_strain.cpp:256),
         # but the fit uses 3D ref_coor deltas; the min of the three stereo
         # ZNCCs is the gate.
-        zmin = jnp.min(
-            table.r[:, 0:3], axis=1
-        )  # r1r2_zncc, r1t1_zncc, r1t2_zncc
-        us = table.p[:, 0]
-        vs = table.p[:, 1]
-        ws = table.p[:, 2]
 
         def build():
             x_np, y_np = np.asarray(table.x), np.asarray(table.y)
@@ -279,41 +284,44 @@ class Strain:
                     self._neighbors(np.stack([x_np, y_np], axis=-1)))
 
         mode, data = self._cached(table.x, "2ds", build)
+        consts = (table.x, table.y, table.ref_coor, table.p, table.r)
         if mode == "grid":
             iy, ix, lookup, di, dj = data
 
-            def run_g(t, iy_c, ix_c):
+            def run_g(t, iy_c, ix_c, xs, ys, rc_all, p_all, r_all):
                 qzmin = jnp.min(t.r[:, 0:3], axis=1)
                 e = strain_ops.strain2ds_grid(
-                    table.x, table.y,
-                    table.ref_coor[:, 0], table.ref_coor[:, 1],
-                    table.ref_coor[:, 2],
-                    us, vs, ws, zmin,
+                    xs, ys,
+                    rc_all[:, 0], rc_all[:, 1], rc_all[:, 2],
+                    p_all[:, 0], p_all[:, 1], p_all[:, 2],
+                    jnp.min(r_all[:, 0:3], axis=1),
                     t.x, t.y,
                     t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
                     qzmin, t.e,
                     iy_c, ix_c, lookup, di, dj,
-                    radius, thr, nmin, approximation=self.approximation,
+                    radius, thr, nmin, approximation=approx,
                 )
                 return t.replace(e=e)
 
-            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix)
+            return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix,
+                                consts=consts)
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, rc_all, p_all, r_all):
             qzmin = jnp.min(t.r[:, 0:3], axis=1)
             e = strain_ops.strain2ds(
-                table.x, table.y,
-                table.ref_coor[:, 0], table.ref_coor[:, 1], table.ref_coor[:, 2],
-                us, vs, ws, zmin,
+                xs, ys,
+                rc_all[:, 0], rc_all[:, 1], rc_all[:, 2],
+                p_all[:, 0], p_all[:, 1], p_all[:, 2],
+                jnp.min(r_all[:, 0:3], axis=1),
                 t.x, t.y,
                 t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
                 qzmin, t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=self.approximation,
+                radius, thr, nmin, approximation=approx,
             )
             return t.replace(e=e)
 
         return base.chunked(run, table, self._chunk(nb_idx.shape[1]),
-                            nb_idx, nb_ok, use_radius)
+                            nb_idx, nb_ok, use_radius, consts=consts)
