@@ -186,6 +186,35 @@ _KEYS_PER_CODE = collections.defaultdict(set)
 _UNSTABLE_LIMIT = 4
 
 
+def _assert_capture_free(fn):
+    """Reject run-closures that capture device arrays.
+
+    Tracing a jit whose closure holds a concrete ``jax.Array`` embeds it as a
+    program constant, which requires reading its VALUE back to the host at
+    lowering time.  Under this sandbox's axon tunnel that device->host read
+    permanently flips the session into a ~26 ms-per-dispatch polled mode
+    (CLAUDE.md), turning sub-ms chunk programs into ~100 ms ones; on real
+    hardware it still bloats executables and defeats buffer reuse.  Every
+    device buffer must instead ride the traced-argument channels: per-POI
+    arrays as ``extras``, loop-invariant arrays as ``consts``."""
+    for c in getattr(fn, "__closure__", None) or ():
+        try:
+            v = c.cell_contents
+        except ValueError:
+            continue
+        if isinstance(v, jax.Array):
+            raise TypeError(
+                "chunked(): run-closure captures a device array "
+                f"({v.shape}, {v.dtype}); pass it via consts=/extras instead "
+                "(closure-captured arrays are read back to host at jit "
+                "lowering, which poisons dispatch latency)")
+    for d in getattr(fn, "__defaults__", None) or ():
+        if isinstance(d, jax.Array):
+            raise TypeError(
+                "chunked(): run-closure default is a device array; pass it "
+                "via consts=/extras instead")
+
+
 def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
     """Apply ``fn(sub_table, *sub_extras, *consts) -> sub_table`` over
     fixed-size POI chunks.  ``extras`` are optional per-POI arrays (leading
@@ -194,6 +223,9 @@ def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
     WHOLE to every chunk (e.g. strain's full-table neighbor-source fields) —
     they enter the compiled programs as traced arguments, so per-call derived
     arrays don't defeat the program cache.
+
+    ``fn`` must NOT capture device arrays in its closure (see
+    ``_assert_capture_free``); scalars/ints/strings are fine.
 
     ``fn`` must be shape-polymorphic only in data values.  Chunks are run in
     groups of ``SCAN_GROUP`` as one ``lax.scan`` program per group — the body
@@ -215,6 +247,7 @@ def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
     n = table.n
     if chunk_size is None or n <= chunk_size:
         return fn(table, *extras, *consts)
+    _assert_capture_free(fn)
     bundle = (table,) + extras
     flat, treedef = jax.tree_util.tree_flatten(bundle)
     is_arr = tuple(getattr(a, "ndim", 0) > 0 for a in flat)

@@ -95,9 +95,8 @@ class EpipolarSearch(base.Module2D):
             offsets[1 + 2 * j] = i
             offsets[2 + 2 * j] = -i
 
-        gx, gy, ref_img = self.icgn1._gx, self.icgn1._gy, self.ref_img
-        lut = self.icgn1._lut
-        fmat, par_x, par_y, conv, max_iter, offs = self._memo.get(
+        consts = (self.icgn1._gx, self.icgn1._gy, self.ref_img,
+                  self.icgn1._lut) + self._memo.get(
             (np.asarray(self.fundamental_matrix).tobytes(),
              self.parallax_x.tobytes(),
              self.parallax_y.tobytes(), self.icgn1.conv_criterion,
@@ -109,7 +108,8 @@ class EpipolarSearch(base.Module2D):
                      jnp.float32(self.icgn1.stop_condition),
                      jnp.asarray(offsets)))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, gx, gy, ref_img, lut, fmat, par_x, par_y, conv, max_iter,
+                offs):
             p_best, r_best = _epipolar_compute(
                 gx, gy, ref_img,
                 lut, fmat, par_x, par_y, offs,
@@ -121,7 +121,7 @@ class EpipolarSearch(base.Module2D):
         # the candidate axis multiplies the working-set size
         chunk = None if self.chunk_size is None else max(
             256, self.chunk_size // n_cand)
-        return base.chunked(run, table, chunk)
+        return base.chunked(run, table, chunk, consts=consts)
 
 
 @functools.partial(

@@ -246,19 +246,24 @@ class FeatureAffine2D(base.Module2D):
                 self.prepare()
             idx, cand, enough = self._candidates(table)
 
-            def run_i(t, idx_c, cand_c, en_c):
-                return _fa2d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
-                                      nmin, thr, seed, trials=tr, samples=sm)
+            def run_i(t, idx_c, cand_c, en_c, rkp, tkp, nm, th, sd):
+                return _fa2d_idx_full(rkp, tkp, t, idx_c, cand_c, en_c,
+                                      nm, th, sd, trials=tr, samples=sm)
 
             return base.chunked(run_i, table, self.chunk_size,
-                                idx, cand, enough)
+                                idx, cand, enough,
+                                consts=(ref_kp, tar_kp, nmin, thr, seed))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        k_cap = self.k_cap
+
+        def run(t, rkp, tkp, rad, nm, th, sd, kk):
             return _fa2d_full(
-                ref_kp, tar_kp, t, radius, nmin, thr, seed, jnp.float32(0.0),
-                k_cap=self.k_cap, trials=tr, samples=sm)
+                rkp, tkp, t, rad, nm, th, sd, kk,
+                k_cap=k_cap, trials=tr, samples=sm)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size,
+                            consts=(ref_kp, tar_kp, radius, nmin, thr, seed,
+                                    jnp.float32(0.0)))
 
     def _compute_self_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         """Self-adaptive subset mode (oc_feature_affine.cpp:128-179): KNN the
@@ -326,20 +331,23 @@ class FeatureAffine2D(base.Module2D):
             cand = jnp.ones((n, k), bool)
             enough = jnp.full((n,), k >= sm)
 
-            def run_i(tc, idx_c, cand_c, en_c):
-                return _fa2d_idx_full(ref_kp, tar_kp, tc, idx_c, cand_c, en_c,
-                                      nmin, thr, seed, trials=tr, samples=sm)
+            def run_i(tc, idx_c, cand_c, en_c, rkp, tkp, nm, th, sd):
+                return _fa2d_idx_full(rkp, tkp, tc, idx_c, cand_c, en_c,
+                                      nm, th, sd, trials=tr, samples=sm)
 
-            return base.chunked(run_i, t, self.chunk_size, idx, cand, enough)
+            return base.chunked(run_i, t, self.chunk_size, idx, cand, enough,
+                                consts=(ref_kp, tar_kp, nmin, thr, seed))
 
-        knn_k = jnp.float32(k)
+        k_cap = self.k_cap
 
-        def run(tc: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(tc, rkp, tkp, rad, nm, th, sd, kk):
             return _fa2d_full(
-                ref_kp, tar_kp, tc, jnp.float32(0.0), nmin, thr, seed, knn_k,
-                k_cap=self.k_cap, trials=tr, samples=sm, knn_only=True)
+                rkp, tkp, tc, rad, nm, th, sd, kk,
+                k_cap=k_cap, trials=tr, samples=sm, knn_only=True)
 
-        return base.chunked(run, t, self.chunk_size)
+        return base.chunked(run, t, self.chunk_size,
+                            consts=(ref_kp, tar_kp, jnp.float32(0.0), nmin,
+                                    thr, seed, jnp.float32(k)))
 
 
 class FeatureAffine3D:
@@ -423,16 +431,20 @@ class FeatureAffine3D:
                 self.prepare()
             idx, cand, enough = self._candidates(table)
 
-            def run_i(t, idx_c, cand_c, en_c):
-                return _fa3d_idx_full(ref_kp, tar_kp, t, idx_c, cand_c, en_c,
-                                      nmin, thr, seed, trials=tr, samples=sm)
+            def run_i(t, idx_c, cand_c, en_c, rkp, tkp, nm, th, sd):
+                return _fa3d_idx_full(rkp, tkp, t, idx_c, cand_c, en_c,
+                                      nm, th, sd, trials=tr, samples=sm)
 
             return base.chunked(run_i, table, self.chunk_size,
-                                idx, cand, enough)
+                                idx, cand, enough,
+                                consts=(ref_kp, tar_kp, nmin, thr, seed))
 
-        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        k_cap = self.k_cap
+
+        def run(t, rkp, tkp, rad, nm, th, sd):
             return _fa3d_full(
-                ref_kp, tar_kp, t, radius, nmin, thr, seed,
-                k_cap=self.k_cap, trials=tr, samples=sm)
+                rkp, tkp, t, rad, nm, th, sd,
+                k_cap=k_cap, trials=tr, samples=sm)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size,
+                            consts=(ref_kp, tar_kp, radius, nmin, thr, seed))

@@ -61,15 +61,15 @@ class FFTCC2D(base.Module2D):
 
     def compute(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         rx, ry = self.subset_radius_x, self.subset_radius_y
-        ref_img, tar_img = self.ref_img, self.tar_img
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, ref_img, tar_img):
             # u0/v0/zncc updated only for processed POIs (oc_fftcc.cpp:268-274)
             p, r = _fftcc2d_full(ref_img, tar_img, t.x, t.y, t.p,
                                  t.r, rx=rx, ry=ry)
             return t.replace(p=p, r=r)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size,
+                            consts=(self.ref_img, self.tar_img))
 
 
 class FFTCC3D(base.Module3D):
@@ -83,13 +83,13 @@ class FFTCC3D(base.Module3D):
     def compute(self, table: poi_mod.POITable3D) -> poi_mod.POITable3D:
         rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
                       self.subset_radius_z)
-        ref_vol, tar_vol = self.ref_vol, self.tar_vol
 
-        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        def run(t, ref_vol, tar_vol):
             p, r = _fftcc3d_full(ref_vol, tar_vol, t.x, t.y, t.z,
                                  t.p, t.r, rx=rx, ry=ry, rz=rz)
             return t.replace(p=p, r=r)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size,
+                            consts=(self.ref_vol, self.tar_vol))
 
 

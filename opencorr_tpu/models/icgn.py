@@ -117,15 +117,23 @@ class _ICGN2DBase(base.Module2D):
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         order = self.order
-        # locals (not self attributes / fresh scalars): the run-closure's
-        # captured cells are chunked()'s program-cache key (base._fn_key)
-        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
-        conv, max_iter = self._memo.get(
+        # device buffers ride the consts channel: a run-closure must not
+        # capture device arrays (base._assert_capture_free — closure capture
+        # embeds them as program constants via a host readback)
+        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
                      jnp.float32(self.stop_condition)))
 
-        def run(t: poi_mod.POITable2D, offs=None) -> poi_mod.POITable2D:
+        def run(t, gx, gy, ref_img, lut, conv, max_iter):
+            p_out, r, sr = _icgn2d_full(
+                gx, gy, ref_img, lut,
+                t.x, t.y, t.p, t.r, t.sr, conv, max_iter, None,
+                order=order, rx=rx, ry=ry,
+            )
+            return t.replace(p=p_out, r=r, sr=sr)
+
+        def run_off(t, offs, gx, gy, ref_img, lut, conv, max_iter):
             p_out, r, sr = _icgn2d_full(
                 gx, gy, ref_img, lut,
                 t.x, t.y, t.p, t.r, t.sr, conv, max_iter, offs,
@@ -135,9 +143,9 @@ class _ICGN2DBase(base.Module2D):
 
         if center_offset is not None:
             # center offsets ([N, 2]) are padded/sliced alongside the table
-            return base.chunked(run, table, self.chunk_size,
-                                jnp.asarray(center_offset))
-        return base.chunked(run, table, self.chunk_size)
+            return base.chunked(run_off, table, self.chunk_size,
+                                jnp.asarray(center_offset), consts=consts)
+        return base.chunked(run, table, self.chunk_size, consts=consts)
 
     def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         """Self-adaptive mode: per-POI subset radii from ``table.sr``
@@ -147,13 +155,12 @@ class _ICGN2DBase(base.Module2D):
         sr = np.asarray(table.sr)
         r_max = int(max(np.max(sr), 1))
         order = self.order
-        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
-        conv, max_iter = self._memo.get(
+        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
                      jnp.float32(self.stop_condition)))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, gx, gy, ref_img, lut, conv, max_iter):
             return _icgn2d_adaptive_full(
                 gx, gy, ref_img, lut, t, conv,
                 max_iter, order=order, r_max=r_max)
@@ -162,7 +169,7 @@ class _ICGN2DBase(base.Module2D):
         if chunk is not None:
             # the masked grid costs r_max^2 per POI regardless of its radius
             chunk = max(1024, chunk // max(1, (2 * r_max + 1) ** 2 // 1089))
-        return base.chunked(run, table, chunk)
+        return base.chunked(run, table, chunk, consts=consts)
 
 
 class ICGN2D1(_ICGN2DBase):
@@ -224,16 +231,15 @@ class ICGN3D1(base.Module3D):
             # for any radius while amortizing dispatch overhead
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
             chunk = max(8, 9_000_000 // s)
-        gx, gy, gz = self._gx, self._gy, self._gz
-        ref_vol, coeff = self.ref_vol, self._coeff
-        conv, max_iter = self._memo.get(
+        consts = (self._gx, self._gy, self._gz, self.ref_vol,
+                  self._coeff) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
                      jnp.float32(self.stop_condition)))
 
-        def run(t: poi_mod.POITable3D) -> poi_mod.POITable3D:
+        def run(t, gx, gy, gz, ref_vol, coeff, conv, max_iter):
             return _icgn3d1_full(gx, gy, gz, ref_vol,
                                  coeff, t, conv, max_iter,
                                  rx=rx, ry=ry, rz=rz)
 
-        return base.chunked(run, table, chunk)
+        return base.chunked(run, table, chunk, consts=consts)

@@ -90,8 +90,7 @@ class _ICLM2DBase(base.Module2D):
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         order = self.order
-        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
-        conv, max_iter, damping = self._memo.get(
+        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
             (self.conv_criterion, self.stop_condition, self.damping_lambda,
              self.damping_alpha, self.damping_beta),
             lambda: (jnp.float32(self.conv_criterion),
@@ -99,12 +98,12 @@ class _ICLM2DBase(base.Module2D):
                      jnp.array([self.damping_lambda, self.damping_alpha,
                                 self.damping_beta], jnp.float32)))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, gx, gy, ref_img, lut, conv, max_iter, damping):
             return _iclm2d_full(gx, gy, ref_img, lut,
                                 t, conv, max_iter, damping,
                                 order=order, rx=rx, ry=ry)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size, consts=consts)
 
 
     def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
@@ -115,8 +114,7 @@ class _ICLM2DBase(base.Module2D):
         sr = np.asarray(table.sr)
         r_max = int(max(np.max(sr), 1))
         order = self.order
-        gx, gy, ref_img, lut = self._gx, self._gy, self.ref_img, self._lut
-        conv, max_iter, damping = self._memo.get(
+        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
             (self.conv_criterion, self.stop_condition, self.damping_lambda,
              self.damping_alpha, self.damping_beta),
             lambda: (jnp.float32(self.conv_criterion),
@@ -124,7 +122,7 @@ class _ICLM2DBase(base.Module2D):
                      jnp.array([self.damping_lambda, self.damping_alpha,
                                 self.damping_beta], jnp.float32)))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, gx, gy, ref_img, lut, conv, max_iter, damping):
             return _iclm2d_adaptive_full(
                 gx, gy, ref_img, lut, t, conv,
                 max_iter, damping, order=order, r_max=r_max)
@@ -132,7 +130,7 @@ class _ICLM2DBase(base.Module2D):
         chunk = self.chunk_size
         if chunk is not None:
             chunk = max(1024, chunk // max(1, (2 * r_max + 1) ** 2 // 1089))
-        return base.chunked(run, table, chunk)
+        return base.chunked(run, table, chunk, consts=consts)
 
 
 class ICLM2D1(_ICLM2DBase):

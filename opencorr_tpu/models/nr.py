@@ -61,15 +61,14 @@ class NR2D1(base.Module2D):
         if self._lut is None:
             raise RuntimeError("call prepare() before compute()")
         rx, ry = self.subset_radius_x, self.subset_radius_y
-        ref_img, lut = self.ref_img, self._lut
-        lut_gx, lut_gy = self._lut_gx, self._lut_gy
-        conv, max_iter = self._memo.get(
+        consts = (self.ref_img, self._lut, self._lut_gx,
+                  self._lut_gy) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
                      jnp.float32(self.stop_condition)))
 
-        def run(t: poi_mod.POITable2D) -> poi_mod.POITable2D:
+        def run(t, ref_img, lut, lut_gx, lut_gy, conv, max_iter):
             return _nr2d1_full(ref_img, lut, lut_gx,
                                lut_gy, t, conv, max_iter, rx=rx, ry=ry)
 
-        return base.chunked(run, table, self.chunk_size)
+        return base.chunked(run, table, self.chunk_size, consts=consts)

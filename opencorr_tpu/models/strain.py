@@ -178,32 +178,33 @@ class Strain:
         # the full-table neighbor-source fields are per-call values: they ride
         # the consts channel so the chunk-program cache stays hot across
         # tables (base.chunked docstring)
-        consts = (table.x, table.y, table.p, table.r)
+        consts = (table.x, table.y, table.p, table.r, radius, thr, nmin)
         if mode == "grid":
             iy, ix, lookup, di, dj = data
 
-            def run_g(t, iy_c, ix_c, xs, ys, p_all, r_all):
+            def run_g(t, iy_c, ix_c, xs, ys, p_all, r_all, rad, th, nm,
+                      lk, di_c, dj_c):
                 e = strain_ops.strain2d_grid(
                     xs, ys, p_all[:, poi_mod.U], p_all[:, poi_mod.V],
                     r_all[:, poi_mod.R_ZNCC],
                     t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
-                    iy_c, ix_c, lookup, di, dj,
-                    radius, thr, nmin, approximation=approx,
+                    iy_c, ix_c, lk, di_c, dj_c,
+                    rad, th, nm, approximation=approx,
                 )
                 return t.replace(e=e)
 
             return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix,
-                                consts=consts)
+                                consts=consts + (lookup, di, dj))
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c, xs, ys, p_all, r_all):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, p_all, r_all, rad, th, nm):
             e = strain_ops.strain2d(
                 xs, ys, p_all[:, poi_mod.U], p_all[:, poi_mod.V],
                 r_all[:, poi_mod.R_ZNCC],
                 t.x, t.y, t.r[:, poi_mod.R_ZNCC], t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=approx,
+                rad, th, nm, approximation=approx,
             )
             return t.replace(e=e)
 
@@ -234,32 +235,35 @@ class Strain:
                 np.stack([x_np, y_np, z_np], axis=-1)))
 
         mode, data = self._cached(table.x, "3d", build)
-        consts = (table.x, table.y, table.z, table.p, table.r)
+        consts = (table.x, table.y, table.z, table.p, table.r,
+                  radius, thr, nmin)
         if mode == "grid":
             iz_d, iy_d, ix_d, lookup_d, dk_d, di_d, dj_d = data
 
-            def run_g(t, iz_c, iy_c, ix_c, xs, ys, zs, p_all, r_all):
+            def run_g(t, iz_c, iy_c, ix_c, xs, ys, zs, p_all, r_all,
+                      rad, th, nm, lk, dk_c, di_c, dj_c):
                 e = strain_ops.strain3d_grid(
                     xs, ys, zs, p_all[:, poi_mod.U3], p_all[:, poi_mod.V3],
                     p_all[:, poi_mod.W3], r_all[:, poi_mod.R3_ZNCC],
                     t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
-                    iz_c, iy_c, ix_c, lookup_d, dk_d, di_d, dj_d,
-                    radius, thr, nmin, approximation=approx,
+                    iz_c, iy_c, ix_c, lk, dk_c, di_c, dj_c,
+                    rad, th, nm, approximation=approx,
                 )
                 return t.replace(e=e)
 
             return base.chunked(run_g, table, self._chunk(dk_d.shape[0]),
-                                iz_d, iy_d, ix_d, consts=consts)
+                                iz_d, iy_d, ix_d,
+                                consts=consts + (lookup_d, dk_d, di_d, dj_d))
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c, xs, ys, zs, p_all, r_all):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, zs, p_all, r_all, rad, th, nm):
             e = strain_ops.strain3d(
                 xs, ys, zs, p_all[:, poi_mod.U3], p_all[:, poi_mod.V3],
                 p_all[:, poi_mod.W3], r_all[:, poi_mod.R3_ZNCC],
                 t.x, t.y, t.z, t.r[:, poi_mod.R3_ZNCC], t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=approx,
+                rad, th, nm, approximation=approx,
             )
             return t.replace(e=e)
 
@@ -284,11 +288,13 @@ class Strain:
                     self._neighbors(np.stack([x_np, y_np], axis=-1)))
 
         mode, data = self._cached(table.x, "2ds", build)
-        consts = (table.x, table.y, table.ref_coor, table.p, table.r)
+        consts = (table.x, table.y, table.ref_coor, table.p, table.r,
+                  radius, thr, nmin)
         if mode == "grid":
             iy, ix, lookup, di, dj = data
 
-            def run_g(t, iy_c, ix_c, xs, ys, rc_all, p_all, r_all):
+            def run_g(t, iy_c, ix_c, xs, ys, rc_all, p_all, r_all,
+                      rad, th, nm, lk, di_c, dj_c):
                 qzmin = jnp.min(t.r[:, 0:3], axis=1)
                 e = strain_ops.strain2ds_grid(
                     xs, ys,
@@ -298,17 +304,18 @@ class Strain:
                     t.x, t.y,
                     t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
                     qzmin, t.e,
-                    iy_c, ix_c, lookup, di, dj,
-                    radius, thr, nmin, approximation=approx,
+                    iy_c, ix_c, lk, di_c, dj_c,
+                    rad, th, nm, approximation=approx,
                 )
                 return t.replace(e=e)
 
             return base.chunked(run_g, table, self._chunk(di.shape[0]), iy, ix,
-                                consts=consts)
+                                consts=consts + (lookup, di, dj))
 
         nb_idx, nb_ok, use_radius = data
 
-        def run(t, idx_c, ok_c, ur_c, xs, ys, rc_all, p_all, r_all):
+        def run(t, idx_c, ok_c, ur_c, xs, ys, rc_all, p_all, r_all,
+                rad, th, nm):
             qzmin = jnp.min(t.r[:, 0:3], axis=1)
             e = strain_ops.strain2ds(
                 xs, ys,
@@ -319,7 +326,7 @@ class Strain:
                 t.ref_coor[:, 0], t.ref_coor[:, 1], t.ref_coor[:, 2],
                 qzmin, t.e,
                 idx_c, ok_c, ur_c,
-                radius, thr, nmin, approximation=approx,
+                rad, th, nm, approximation=approx,
             )
             return t.replace(e=e)
 

@@ -165,10 +165,23 @@ def _ransac_core_2d(rc, tc, cand_mask, n_cand, enough, neighbor_min,
     # ref * affine = tar (oc_feature_affine.cpp:259-260)
     affine = _solve_3x3(amat, bmat)  # [N, T, 3, 3]
 
-    # Consensus over all candidates (oc_feature_affine.cpp:262-287).
-    rch = jnp.concatenate([rc, jnp.ones((n, kc, 1), f32)], axis=-1)  # [N,kc,3]
-    pred = jnp.einsum("nkc,ntcd->ntkd", rch, affine)[..., :2]  # [N, T, kc, 2]
-    err = jnp.sqrt(jnp.sum((pred - tc[:, None]) ** 2, axis=-1))  # [N, T, kc]
+    # Consensus over all candidates (oc_feature_affine.cpp:262-287) as
+    # explicit broadcast arithmetic: the [N, T, kc] error tensor exists only
+    # inside one fused elementwise+reduce loop producing the [N, T] counts
+    # and error sums (a size-3 einsum contraction would force XLA to
+    # materialize the [N, T, kc, 2] prediction through HBM — that tensor
+    # dominated this stage's wall time).
+    def _trial_errs(aff):  # aff [N, T', 3, 3] -> err [N, T', kc]
+        px = (rc[:, None, :, 0] * aff[..., 0, 0, None]
+              + rc[:, None, :, 1] * aff[..., 1, 0, None]
+              + aff[..., 2, 0, None])
+        py = (rc[:, None, :, 0] * aff[..., 0, 1, None]
+              + rc[:, None, :, 1] * aff[..., 1, 1, None]
+              + aff[..., 2, 1, None])
+        return jnp.sqrt((px - tc[:, None, :, 0]) ** 2
+                        + (py - tc[:, None, :, 1]) ** 2)
+
+    err = _trial_errs(affine)  # fused into the reductions below
     inlier = (err < error_threshold) & cand_mask[:, None, :]
     set_size = jnp.sum(inlier, axis=2)  # [N, T]
     err_sum = jnp.sum(jnp.where(inlier, err, 0.0), axis=2)
@@ -176,9 +189,13 @@ def _ransac_core_2d(rc, tc, cand_mask, n_cand, enough, neighbor_min,
 
     best_t = jnp.argmax(set_size, axis=1)  # first max wins, like > compare
     best_size = jnp.take_along_axis(set_size, best_t[:, None], 1)[:, 0]
-    best_inlier = jnp.take_along_axis(
-        inlier, best_t[:, None, None], 1
-    )[:, 0]  # [N, kc]
+    # Re-derive the winning trial's inlier mask from its affine alone: a
+    # [N, kc] recompute instead of gathering from the (never-materialized)
+    # [N, T, kc] inlier tensor.
+    best_aff = jnp.take_along_axis(
+        affine, best_t[:, None, None, None], 1)  # [N, 1, 3, 3]
+    best_err = _trial_errs(best_aff)[:, 0]  # [N, kc]
+    best_inlier = (best_err < error_threshold) & cand_mask
 
     # Recorded trial count per the do-while stopping rule
     # (oc_feature_affine.cpp:291-292).
@@ -190,6 +207,7 @@ def _ransac_core_2d(rc, tc, cand_mask, n_cand, enough, neighbor_min,
 
     # Final least-squares affine on the best consensus set (masked normal
     # equations; local coords are small so f32 is well conditioned).
+    rch = jnp.concatenate([rc, jnp.ones((n, kc, 1), f32)], axis=-1)  # [N,kc,3]
     wm = best_inlier.astype(f32)
     aw = rch * wm[..., None]
     ata = jnp.einsum("nki,nkj->nij", aw, rch)
@@ -337,9 +355,20 @@ def _ransac_core_3d(rc, tc, cand_mask, n_cand, enough, neighbor_min,
     bmat = jnp.concatenate([a_tar, ones], axis=-1)
     affine = linalg_ops.solve_small(amat, bmat)
 
-    rch = jnp.concatenate([rc, jnp.ones((n, kc, 1), f32)], axis=-1)
-    pred = jnp.einsum("nkc,ntcd->ntkd", rch, affine)[..., :3]
-    err = jnp.sqrt(jnp.sum((pred - tc[:, None]) ** 2, axis=-1))
+    # Fused-broadcast consensus (see _ransac_core_2d): no [N, T, kc, 3]
+    # prediction tensor ever reaches HBM.
+    def _trial_errs(aff):  # aff [N, T', 4, 4] -> err [N, T', kc]
+        e2 = None
+        for d in range(3):
+            pd = (rc[:, None, :, 0] * aff[..., 0, d, None]
+                  + rc[:, None, :, 1] * aff[..., 1, d, None]
+                  + rc[:, None, :, 2] * aff[..., 2, d, None]
+                  + aff[..., 3, d, None])
+            dd = pd - tc[:, None, :, d]
+            e2 = dd * dd if e2 is None else e2 + dd * dd
+        return jnp.sqrt(e2)
+
+    err = _trial_errs(affine)
     inlier = (err < error_threshold) & cand_mask[:, None, :]
     set_size = jnp.sum(inlier, axis=2)
     err_sum = jnp.sum(jnp.where(inlier, err, 0.0), axis=2)
@@ -347,13 +376,17 @@ def _ransac_core_3d(rc, tc, cand_mask, n_cand, enough, neighbor_min,
 
     best_t = jnp.argmax(set_size, axis=1)
     best_size = jnp.take_along_axis(set_size, best_t[:, None], 1)[:, 0]
-    best_inlier = jnp.take_along_axis(inlier, best_t[:, None, None], 1)[:, 0]
+    best_aff = jnp.take_along_axis(
+        affine, best_t[:, None, None, None], 1)  # [N, 1, 4, 4]
+    best_err = _trial_errs(best_aff)[:, 0]  # [N, kc]
+    best_inlier = (best_err < error_threshold) & cand_mask
 
     run_max = jax.lax.associative_scan(jnp.maximum, set_size, axis=1)
     stop_ok = (run_max >= neighbor_min) & ~(mean_err > error_threshold / neighbor_min)
     any_stop = jnp.any(stop_ok, axis=1)
     iteration = jnp.where(any_stop, jnp.argmax(stop_ok, axis=1) + 1, trials).astype(f32)
 
+    rch = jnp.concatenate([rc, jnp.ones((n, kc, 1), f32)], axis=-1)
     wm = best_inlier.astype(f32)
     aw = rch * wm[..., None]
     ata = jnp.einsum("nki,nkj->nij", aw, rch)
