@@ -33,6 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.hosthints import register_host_hint
+
 # Indices into the 2D deformation vector p[12].
 U, UX, UY, UXX, UXY, UYY, V, VX, VY, VXX, VXY, VYY = range(12)
 # Indices into the 2D result vector r[6].
@@ -144,10 +146,23 @@ class POITable2DS:
         return dataclasses.replace(self, **kw)
 
 
+def _dev_coord(a):
+    """Host coords -> committed f32 device buffer, with its host value
+    registered so downstream neighbor precomputes never read it back
+    (utils/hosthints)."""
+    host = None
+    if isinstance(a, (np.ndarray, list, tuple)) or np.isscalar(a):
+        host = np.asarray(a, np.float32).reshape(-1)
+    d = jnp.asarray(a, jnp.float32).reshape(-1)
+    if host is not None:
+        register_host_hint(d, host)
+    return d
+
+
 def new_table_2d(x, y) -> POITable2D:
     """Fresh POI table with all data zeroed (``POI2D::clear``, oc_poi.h:128)."""
-    x = jnp.asarray(x, jnp.float32).reshape(-1)
-    y = jnp.asarray(y, jnp.float32).reshape(-1)
+    x = _dev_coord(x)
+    y = _dev_coord(y)
     n = x.shape[0]
     return POITable2D(
         x=x,
@@ -160,9 +175,9 @@ def new_table_2d(x, y) -> POITable2D:
 
 
 def new_table_3d(x, y, z) -> POITable3D:
-    x = jnp.asarray(x, jnp.float32).reshape(-1)
-    y = jnp.asarray(y, jnp.float32).reshape(-1)
-    z = jnp.asarray(z, jnp.float32).reshape(-1)
+    x = _dev_coord(x)
+    y = _dev_coord(y)
+    z = _dev_coord(z)
     n = x.shape[0]
     return POITable3D(
         x=x,
@@ -176,8 +191,8 @@ def new_table_3d(x, y, z) -> POITable3D:
 
 
 def new_table_2ds(x, y) -> POITable2DS:
-    x = jnp.asarray(x, jnp.float32).reshape(-1)
-    y = jnp.asarray(y, jnp.float32).reshape(-1)
+    x = _dev_coord(x)
+    y = _dev_coord(y)
     n = x.shape[0]
     return POITable2DS(
         x=x,

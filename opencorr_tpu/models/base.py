@@ -67,6 +67,22 @@ class Memo:
         self._val = None
 
 
+from ..utils.hosthints import host_hint, register_host_hint  # re-exported
+
+
+def _carry_host_hints(src, dst, fields=("x", "y", "z", "sr")):
+    """Propagate host hints across a compute() that rebuilt the coordinate
+    buffers with identical values (the chunk glue's pad/slice/concat)."""
+    for f in fields:
+        s = getattr(src, f, None)
+        d = getattr(dst, f, None)
+        if s is None or d is None or d is s:
+            continue
+        h = host_hint(s)
+        if h is not None:
+            register_host_hint(d, h)
+
+
 _VAL_TYPES = (int, float, bool, str, bytes, type(None))
 
 
@@ -246,7 +262,9 @@ def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
     """
     n = table.n
     if chunk_size is None or n <= chunk_size:
-        return fn(table, *extras, *consts)
+        res = fn(table, *extras, *consts)
+        _carry_host_hints(table, res)
+        return res
     _assert_capture_free(fn)
     bundle = (table,) + extras
     flat, treedef = jax.tree_util.tree_flatten(bundle)
@@ -261,8 +279,10 @@ def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
     if progs is None:
         seen = _KEYS_PER_CODE[code]
         if len(seen) >= _UNSTABLE_LIMIT and key not in seen:
-            return _chunked_eager(fn, flat, treedef, is_arr, const_flat,
-                                  const_treedef, n, chunk_size, group)
+            res = _chunked_eager(fn, flat, treedef, is_arr, const_flat,
+                                 const_treedef, n, chunk_size, group)
+            _carry_host_hints(table, res)
+            return res
         seen.add(key)
         progs = _ChunkPrograms(fn, treedef, is_arr, len(flat), const_treedef,
                                chunk_size, group)
@@ -273,7 +293,9 @@ def chunked(fn, table, chunk_size: Optional[int], *extras, consts=()):
             _KEYS_PER_CODE[ocode].discard(old_key)
     else:
         _CHUNK_PROGRAMS.move_to_end(key)
-    return progs.run(flat, const_flat, n)
+    res = progs.run(flat, const_flat, n)
+    _carry_host_hints(table, res)
+    return res
 
 
 def _chunked_eager(fn, flat, treedef, is_arr, const_flat, const_treedef, n,

@@ -116,10 +116,17 @@ _DeviceArgCache = base.Memo
 def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
     """Host k-d tree candidate stage mirroring the device kernel's semantics
     (and the reference's nanoflann radius search with KNN fallback,
-    oc_feature_affine.cpp:182-222): per query point, the ``kc`` nearest
-    keypoints ascending by distance; candidates are the in-radius ones when
-    their count reaches ``neighbor_min``, else the nearest ``neighbor_min``.
+    oc_feature_affine.cpp:182-222): per query point, the nearest keypoints
+    ascending by distance; candidates are the in-radius ones when their count
+    reaches ``neighbor_min``, else the nearest ``neighbor_min``.
     Returns (idx[N, kc_eff] int32, cand_mask[N, kc_eff] bool, enough[N] bool).
+
+    Adaptive k: a flat ``query(k=k_cap)`` costs ~25x the real need when the
+    typical in-radius count is far below the cap (GT4: 210-370 ms of the
+    temporal leg for ~13 in-radius keypoints at k_cap=128).  Query the
+    nearest k0 first, then re-query ONLY the rows whose k-th neighbor is
+    still in-radius (they may have more candidates) with doubled k, up to
+    ``kc``.  Identical result set to the flat query.
 
     kc trim: candidates are sorted ascending by distance, so the kept set
     (in-radius, or nearest ``neighbor_min`` fallback) is always a PREFIX of
@@ -128,11 +135,23 @@ def _host_candidates(tree, q, kc, radius, neighbor_min, samples):
     the max prefix length rounded up to a multiple of 16 (bit-identical
     results; the random sample indices are drawn mod n_cand, independent of
     kc)."""
-    d, idx = tree.query(q, k=kc)
-    if kc == 1:
+    k = min(kc, max(16, int(neighbor_min), int(samples)))
+    d, idx = tree.query(q, k=k, workers=-1)
+    if k == 1:
         d, idx = d[:, None], idx[:, None]
+    while k < kc:
+        sat = d[:, -1] < radius  # full row in-radius: may have more neighbors
+        if not sat.any():
+            break
+        k2 = min(kc, 2 * k)
+        d2, i2 = tree.query(q[sat], k=k2, workers=-1)
+        d = np.pad(d, ((0, 0), (0, k2 - k)), constant_values=np.inf)
+        idx = np.pad(idx, ((0, 0), (0, k2 - k)))
+        d[sat], idx[sat] = d2, i2
+        k = k2
     in_r = d < radius  # strict <, matching d2 < r*r in the device kernel
     nr = in_r.sum(1)
+    kc = k
     pos = np.arange(kc)[None, :]
     cand_mask = np.where((nr >= neighbor_min)[:, None], in_r,
                          pos < neighbor_min)
@@ -281,7 +300,8 @@ class FeatureAffine2D(base.Module2D):
         if self._tree is None:
             self.prepare()
         if self._tree is not None:
-            _, knn_idx = self._tree.query(np.stack([xs, ys], -1), k=k)
+            _, knn_idx = self._tree.query(np.stack([xs, ys], -1), k=k,
+                                          workers=-1)
             knn_idx = knn_idx.reshape(n, k)
         else:
             d2 = (xs[:, None] - self.ref_kp[None, :, 0]) ** 2 + (
@@ -326,6 +346,8 @@ class FeatureAffine2D(base.Module2D):
                      jnp.int32(self.seed)))
         tr, sm = self.ransac.trial_number, self.ransac.sample_number
 
+        sr_host = np.stack([srx, sry], -1).astype(np.float32)
+
         if self._tree is not None:
             idx = jnp.asarray(knn_idx.astype(np.int32))
             cand = jnp.ones((n, k), bool)
@@ -335,8 +357,15 @@ class FeatureAffine2D(base.Module2D):
                 return _fa2d_idx_full(rkp, tkp, tc, idx_c, cand_c, en_c,
                                       nm, th, sd, trials=tr, samples=sm)
 
-            return base.chunked(run_i, t, self.chunk_size, idx, cand, enough,
-                                consts=(ref_kp, tar_kp, nmin, thr, seed))
+            out = base.chunked(run_i, t, self.chunk_size, idx, cand, enough,
+                               consts=(ref_kp, tar_kp, nmin, thr, seed))
+            # downstream self-adaptive ICGN/ICLM derive their static max
+            # radius from sr, and strain's neighbor precompute needs the
+            # (moved) POI coordinates; the host copies spare them readbacks
+            base.register_host_hint(out.sr, sr_host)
+            base.register_host_hint(out.x, xs.astype(np.float32))
+            base.register_host_hint(out.y, ys.astype(np.float32))
+            return out
 
         k_cap = self.k_cap
 
@@ -345,9 +374,13 @@ class FeatureAffine2D(base.Module2D):
                 rkp, tkp, tc, rad, nm, th, sd, kk,
                 k_cap=k_cap, trials=tr, samples=sm, knn_only=True)
 
-        return base.chunked(run, t, self.chunk_size,
-                            consts=(ref_kp, tar_kp, jnp.float32(0.0), nmin,
-                                    thr, seed, jnp.float32(k)))
+        out = base.chunked(run, t, self.chunk_size,
+                           consts=(ref_kp, tar_kp, jnp.float32(0.0), nmin,
+                                   thr, seed, jnp.float32(k)))
+        base.register_host_hint(out.sr, sr_host)
+        base.register_host_hint(out.x, xs.astype(np.float32))
+        base.register_host_hint(out.y, ys.astype(np.float32))
+        return out
 
 
 class FeatureAffine3D:

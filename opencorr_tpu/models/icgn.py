@@ -152,7 +152,10 @@ class _ICGN2DBase(base.Module2D):
         (oc_icgn.cpp:152-158); one masked kernel at the batch max radius."""
         import numpy as np
 
-        sr = np.asarray(table.sr)
+        sr = base.host_hint(table.sr)
+        if sr is None:  # one readback per unseen queue (poisons the tunnel —
+            sr = np.asarray(table.sr)  # FeatureAffine registers the hint)
+            base.register_host_hint(table.sr, sr)
         r_max = int(max(np.max(sr), 1))
         order = self.order
         consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(

@@ -111,7 +111,10 @@ class _ICLM2DBase(base.Module2D):
         (oc_iclm.cpp:158-164)."""
         import numpy as np
 
-        sr = np.asarray(table.sr)
+        sr = base.host_hint(table.sr)
+        if sr is None:  # one readback per unseen queue (poisons the tunnel —
+            sr = np.asarray(table.sr)  # FeatureAffine registers the hint)
+            base.register_host_hint(table.sr, sr)
         r_max = int(max(np.max(sr), 1))
         order = self.order
         consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(

@@ -7,12 +7,13 @@ Fundamental matrix F = K2^-T [t]x R2 K1^-1 (oc_stereovision.cpp:36-54);
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import linalg as linalg_ops
 from ..utils.precision import highest_precision
-from .calibration import Calibration
+from .calibration import Calibration, _undistort_points
 
 
 def fundamental_matrix(view1_cam: Calibration, view2_cam: Calibration) -> np.ndarray:
@@ -47,41 +48,60 @@ def _triangulate(p1: jnp.ndarray, p2: jnp.ndarray, x1, y1, x2, y2):
     return linalg_ops.solve_small(ata, atb)  # [N, 3]
 
 
+@jax.jit
+@highest_precision
+def _reconstruct_full(m1x, m1y, i1, p1m, m2x, m2y, i2, p2m, v1, v2):
+    """Undistort both views + triangulate as ONE program: the previous eager
+    chain was ~60 sub-ms dispatches, which dominated the stage through the
+    tunnel (GT4 reconstruction leg ~50 ms for microseconds of compute)."""
+    bad = (
+        jnp.isnan(v1[:, 0]) | jnp.isnan(v1[:, 1])
+        | jnp.isnan(v2[:, 0]) | jnp.isnan(v2[:, 1])
+    )
+    # undistort expects in-range values; NaNs are zeroed then masked out
+    v1 = jnp.where(bad[:, None], 0.0, v1)
+    v2 = jnp.where(bad[:, None], 0.0, v2)
+    x1, y1 = _undistort_points(m1x, m1y, i1, v1[:, 0], v1[:, 1])
+    x2, y2 = _undistort_points(m2x, m2y, i2, v2[:, 0], v2[:, 1])
+    world = _triangulate(p1m, p2m, x1, y1, x2, y2)
+    return jnp.where(bad[:, None], 0.0, world)
+
+
 class Stereovision:
     def __init__(self, view1_cam: Calibration, view2_cam: Calibration):
         self.view1_cam = view1_cam
         self.view2_cam = view2_cam
         self.fundamental_matrix = None
+        self._dev = None  # memoized device camera state
 
     def update_cameras(self, view1_cam, view2_cam):
         self.view1_cam = view1_cam
         self.view2_cam = view2_cam
+        self._dev = None
 
     def prepare(self):
         self.view1_cam.update_matrices()
         self.view2_cam.update_matrices()
         self.fundamental_matrix = fundamental_matrix(
             self.view1_cam, self.view2_cam)
+        self._dev = None
 
     def reconstruct(self, view1_pts, view2_pts):
         """[N, 2] point arrays in both views -> [N, 3] world coordinates.
 
         NaN inputs produce the zero point (oc_stereovision.cpp:72-76).
         """
-        v1 = jnp.asarray(view1_pts, jnp.float32)
-        v2 = jnp.asarray(view2_pts, jnp.float32)
-        bad = (
-            jnp.isnan(v1[:, 0]) | jnp.isnan(v1[:, 1])
-            | jnp.isnan(v2[:, 0]) | jnp.isnan(v2[:, 1])
+        if self._dev is None:
+            self._dev = (
+                self.view1_cam._intr_vec(),
+                jnp.asarray(self.view1_cam.projection_matrix),
+                self.view2_cam._intr_vec(),
+                jnp.asarray(self.view2_cam.projection_matrix),
+            )
+        i1, p1m, i2, p2m = self._dev
+        return _reconstruct_full(
+            self.view1_cam.map_x, self.view1_cam.map_y, i1, p1m,
+            self.view2_cam.map_x, self.view2_cam.map_y, i2, p2m,
+            jnp.asarray(view1_pts, jnp.float32),
+            jnp.asarray(view2_pts, jnp.float32),
         )
-        # undistort expects in-range values; NaNs are zeroed then masked out
-        v1 = jnp.where(bad[:, None], 0.0, v1)
-        v2 = jnp.where(bad[:, None], 0.0, v2)
-        x1, y1 = self.view1_cam.undistort(v1[:, 0], v1[:, 1])
-        x2, y2 = self.view2_cam.undistort(v2[:, 0], v2[:, 1])
-        world = _triangulate(
-            jnp.asarray(self.view1_cam.projection_matrix),
-            jnp.asarray(self.view2_cam.projection_matrix),
-            x1, y1, x2, y2,
-        )
-        return jnp.where(bad[:, None], 0.0, world)

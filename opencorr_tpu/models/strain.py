@@ -167,7 +167,10 @@ class Strain:
         approx = self.approximation
 
         def build():
-            x_np, y_np = np.asarray(table.x), np.asarray(table.y)
+            x_np = base.host_hint(table.x)
+            y_np = base.host_hint(table.y)
+            if x_np is None or y_np is None:  # one readback per unseen queue
+                x_np, y_np = np.asarray(table.x), np.asarray(table.y)
             grid = self._grid_2d(x_np, y_np)
             if grid is not None:
                 return ("grid", grid)
@@ -216,9 +219,13 @@ class Strain:
         approx = self.approximation
 
         def build():
-            x_np = np.asarray(table.x)
-            y_np = np.asarray(table.y)
-            z_np = np.asarray(table.z)
+            x_np = base.host_hint(table.x)
+            y_np = base.host_hint(table.y)
+            z_np = base.host_hint(table.z)
+            if x_np is None or y_np is None or z_np is None:
+                x_np = np.asarray(table.x)
+                y_np = np.asarray(table.y)
+                z_np = np.asarray(table.z)
             g = strain_ops.detect_grid_3d(x_np, y_np, z_np)
             if g is not None:
                 iz, iy, ix, lookup, gz, gy, gx = g
@@ -280,7 +287,10 @@ class Strain:
         # ZNCCs is the gate.
 
         def build():
-            x_np, y_np = np.asarray(table.x), np.asarray(table.y)
+            x_np = base.host_hint(table.x)
+            y_np = base.host_hint(table.y)
+            if x_np is None or y_np is None:
+                x_np, y_np = np.asarray(table.x), np.asarray(table.y)
             grid = self._grid_2d(x_np, y_np)
             if grid is not None:
                 return ("grid", grid)

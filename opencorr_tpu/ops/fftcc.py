@@ -172,10 +172,14 @@ def fftcc3d(
     would cross the volume edge are skipped like the 2D path) since a clamped
     gather would silently correlate wrong data.
 
-    The 2D path's exact integer peak re-rank is not applied in 3D: the window
-    integer correlation reaches (2r)^3 * 255^2 (~1.4e10 at r=30), overflowing
-    int32, and there is no committed 3D golden to calibrate against; the f32
-    peak is handed to ICGN3D which absorbs +-1 voxel like the 2D chain.
+    Like the 2D path, integral-valued volumes get an exact integer re-rank of
+    the top-8 f32 correlation peaks so the argmax is TPU-deterministic.  The
+    window integer correlation reaches (2r)^3 * 255^2 (~1.4e10 at r=30), past
+    int32 — so each product is split hi/lo (p = 256*(p>>8) + (p&0xFF), exact
+    in two's complement) and the two partial sums, each bounded by
+    V * 255 < 2^31 for any window under ~8.4M voxels, are compared
+    lexicographically after carry normalization.  Exact ties take the first
+    flat index in scan order (oc_fftcc.cpp's strict-> first-max loop).
     """
     dz, dy, dx = ref_vol.shape
     n = xs.shape[0]
@@ -217,6 +221,53 @@ def fftcc3d(
 
     flat = corr.reshape(n, wz * wy * wx)
     idx = jnp.argmax(flat, axis=1)
+
+    # Exact hi/lo-int32 peak re-rank (see docstring; 2D twin above).
+    v = wz * wy * wx
+    ri = jnp.round(ref_w)
+    ti = jnp.round(tar_w)
+    is_int = (
+        jnp.all(ref_w == ri, axis=(1, 2, 3))
+        & jnp.all(tar_w == ti, axis=(1, 2, 3))
+    )
+    # Partial-sum range guard: V * (max|p|/256 + 1) must stay within int32
+    # (the lo sum's V * 255 bound holds for any window under 8.4M voxels).
+    cap = jnp.max(jnp.abs(ri), axis=(1, 2, 3)) * jnp.max(
+        jnp.abs(ti), axis=(1, 2, 3))
+    is_int = is_int & (v * (cap / 256.0 + 1.0) < 0.99 * 2.0**31)
+    ri_flat = ri.reshape(n, v).astype(jnp.int32)
+    ti_flat = ti.reshape(n, v).astype(jnp.int32)
+    _, cand = jax.lax.top_k(flat, 8)  # [N, 8]
+    lin = jnp.arange(v, dtype=jnp.int32)
+    zz = lin // (wy * wx)
+    yy = (lin // wx) % wy
+    xx = lin % wx
+    his, los = [], []
+    for j in range(8):
+        dw_j = (cand[:, j] // (wx * wy)).astype(jnp.int32)
+        dv_j = ((cand[:, j] // wx) % wy).astype(jnp.int32)
+        du_j = (cand[:, j] % wx).astype(jnp.int32)
+        src = (
+            ((zz[None, :] + dw_j[:, None]) % wz) * (wy * wx)
+            + ((yy[None, :] + dv_j[:, None]) % wy) * wx
+            + ((xx[None, :] + du_j[:, None]) % wx)
+        )
+        tg = jnp.take_along_axis(ti_flat, src, axis=1)
+        p = ri_flat * tg  # |p| <= 255^2 < 2^31
+        hi = jnp.sum(p >> 8, axis=1)
+        lo = jnp.sum(p & 0xFF, axis=1)
+        his.append(hi + (lo >> 8))  # carry-normalize: lo in [0, 255]
+        los.append(lo & 0xFF)
+    his = jnp.stack(his, axis=1)  # [N, 8]
+    los = jnp.stack(los, axis=1)
+    best_hi = jnp.max(his, axis=1, keepdims=True)
+    sel1 = his == best_hi
+    best_lo = jnp.max(jnp.where(sel1, los, jnp.int32(-(2**31))), axis=1,
+                      keepdims=True)
+    sel = sel1 & (los == best_lo)
+    idx_exact = jnp.min(jnp.where(sel, cand, v), axis=1).astype(idx.dtype)
+    idx = jnp.where(is_int, idx_exact, idx)
+
     peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
     du = (idx % wx).astype(jnp.int32)
     dv = ((idx // wx) % wy).astype(jnp.int32)

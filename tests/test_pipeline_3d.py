@@ -37,6 +37,56 @@ def test_dvc_chunked_equivalent(speckle_pair_3d):
     assert np.allclose(np.asarray(a.p), np.asarray(b.p), atol=1e-5)
 
 
+def test_fftcc3d_exact_integer_rerank():
+    """The hi/lo-int32 top-8 re-rank must pick exactly the int64 circular
+    correlation argmax (first flat index in scan order on ties) whenever the
+    f32 peak set contains it — validated per POI against a brute-force int64
+    replay on 8-bit-valued volumes (ops/fftcc.py fftcc3d)."""
+    from opencorr_tpu.ops import fftcc as fftcc_ops
+
+    rng = np.random.default_rng(7)
+    r = 4
+    w = 2 * r
+    dims = (24, 24, 24)
+    ref = rng.integers(0, 256, dims).astype(np.float32)
+    tar = np.roll(ref, (1, -2, 3), axis=(0, 1, 2)).astype(np.float32)
+    tar += rng.integers(0, 3, dims).astype(np.float32)  # integral noise
+    n = 27
+    xs = rng.integers(r, dims[2] - r, n).astype(np.float32)
+    ys = rng.integers(r, dims[1] - r, n).astype(np.float32)
+    zs = rng.integers(r, dims[0] - r, n).astype(np.float32)
+    zero = np.zeros(n, np.float32)
+    u, v, wd, zncc, valid = fftcc_ops.fftcc3d(
+        jnp.asarray(ref), jnp.asarray(tar), jnp.asarray(xs), jnp.asarray(ys),
+        jnp.asarray(zs), jnp.asarray(zero), jnp.asarray(zero),
+        jnp.asarray(zero), rx=r, ry=r, rz=r)
+    u, v, wd = np.asarray(u), np.asarray(v), np.asarray(wd)
+
+    for i in range(n):
+        xi, yi, zi = int(xs[i]), int(ys[i]), int(zs[i])
+        rw = ref[zi - r : zi + r, yi - r : yi + r, xi - r : xi + r]
+        tw = tar[zi - r : zi + r, yi - r : yi + r, xi - r : xi + r]
+        ri = rw.astype(np.int64)
+        ti = tw.astype(np.int64)
+        best_score, best_idx = None, None
+        for dz in range(w):
+            for dy in range(w):
+                for dx in range(w):
+                    s = int(np.sum(ri * np.roll(ti, (-dz, -dy, -dx),
+                                                axis=(0, 1, 2))))
+                    if best_score is None or s > best_score:
+                        best_score = s
+                        best_idx = (dz * w + dy) * w + dx
+        du = best_idx % w
+        dv = (best_idx // w) % w
+        dw_ = best_idx // (w * w)
+        du = du - w if du > r else du
+        dv = dv - w if dv > r else dv
+        dw_ = dw_ - w if dw_ > r else dw_
+        assert (u[i], v[i], wd[i]) == (du, dv, dw_), (
+            i, (u[i], v[i], wd[i]), (du, dv, dw_))
+
+
 def test_strain_3d_linear_field():
     pois = oc.poi_grid_3d((4, 4, 4), 8, 8, 8, 3)
     x, y, z = (np.asarray(a) for a in (pois.x, pois.y, pois.z))
