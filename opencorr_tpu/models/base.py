@@ -351,6 +351,19 @@ def _chunked_eager(fn, flat, treedef, is_arr, const_flat, const_treedef, n,
         lambda a: a[:n] if a.ndim else a, cat)
 
 
+def budget_chunk(chunk_size: Optional[int], rx: int, ry: int,
+                 budget: int = 40_000_000) -> Optional[int]:
+    """Effective POI chunk for a 2D refine kernel: the user's ``chunk_size``
+    capped by a poi*pixel working-set budget (mirrors ICGN3D's poi*voxel
+    budget).  40M keeps the flagship 30k r=16 queue a single dispatch while a
+    38.4k r=30 queue (utn) splits into 4 — unbounded it allocates multi-GB of
+    [N, (2r+1)^2] iteration buffers."""
+    if chunk_size is None:
+        return None
+    s = (2 * rx + 1) * (2 * ry + 1)
+    return min(chunk_size, max(1024, budget // s))
+
+
 class Module2D:
     """Base for 2D modules: image state + subset radii (oc_dic.h:43-64)."""
 

@@ -120,6 +120,7 @@ class _ICGN2DBase(base.Module2D):
         # device buffers ride the consts channel: a run-closure must not
         # capture device arrays (base._assert_capture_free — closure capture
         # embeds them as program constants via a host readback)
+        chunk = base.budget_chunk(self.chunk_size, rx, ry)
         consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
@@ -143,9 +144,9 @@ class _ICGN2DBase(base.Module2D):
 
         if center_offset is not None:
             # center offsets ([N, 2]) are padded/sliced alongside the table
-            return base.chunked(run_off, table, self.chunk_size,
+            return base.chunked(run_off, table, chunk,
                                 jnp.asarray(center_offset), consts=consts)
-        return base.chunked(run, table, self.chunk_size, consts=consts)
+        return base.chunked(run, table, chunk, consts=consts)
 
     def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:
         """Self-adaptive mode: per-POI subset radii from ``table.sr``

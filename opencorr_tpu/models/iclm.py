@@ -103,7 +103,8 @@ class _ICLM2DBase(base.Module2D):
                                 t, conv, max_iter, damping,
                                 order=order, rx=rx, ry=ry)
 
-        return base.chunked(run, table, self.chunk_size, consts=consts)
+        return base.chunked(run, table, base.budget_chunk(
+            self.chunk_size, rx, ry), consts=consts)
 
 
     def _compute_adaptive(self, table: poi_mod.POITable2D) -> poi_mod.POITable2D:

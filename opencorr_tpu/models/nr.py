@@ -71,4 +71,5 @@ class NR2D1(base.Module2D):
             return _nr2d1_full(ref_img, lut, lut_gx,
                                lut_gy, t, conv, max_iter, rx=rx, ry=ry)
 
-        return base.chunked(run, table, self.chunk_size, consts=consts)
+        return base.chunked(run, table, base.budget_chunk(
+            self.chunk_size, rx, ry), consts=consts)
