@@ -288,73 +288,62 @@ class SIFT3D:
         # block_until_ready per octave is safe — it is not a device->host
         # transfer (CLAUDE.md) — and lets buffers free before the next
         # octave's programs run.
+        alpha = jnp.float32(cfg.alpha)
+        grad_thr = jnp.float32(cfg.gradient_threshold)
+        beta = jnp.float32(cfg.beta)
+        gamma = jnp.float32(cfg.gamma)
+        trunc = jnp.float32(cfg.truncate_threshold)
+
         staged = []  # (x, y, z, ok, desc, octave, layer, scale) device entries
         seed = vol
         for m in range(cfg.n_octave):
             base = m * lpo_g
-            g_vols: List[jnp.ndarray] = []
-            for n in range(lpo_g):
-                lay = layers[base + n]
-                if n == 0:
-                    if m == 0:
-                        v = ops3d.gaussian_blur(seed, lay.sigma, lay.units)
-                    else:
-                        dz_, dy_, dx_ = lay.dims
-                        v = seed[: 2 * dz_ : 2, : 2 * dy_ : 2, : 2 * dx_ : 2]
-                else:
-                    v = ops3d.gaussian_blur(g_vols[n - 1], lay.sigma,
-                                            lay.units)
-                g_vols.append(v)
-            seed = g_vols[cfg.n_octave_layers]  # next octave's source
+            # an octave's ENTIRE feature path (downsample + blur chain + DoGs
+            # + extrema + orientation + descriptors) is ONE program
+            # (ops/sift3d.octave_features): the per-stage chain was ~30
+            # dispatches per octave, and a degraded tunnel session pays
+            # 10-40 ms per dispatch while the device compute for the full
+            # Torus extraction is ~0.1 s
+            if m == 0:
+                sigmas = tuple(layers[base + n].sigma for n in range(lpo_g))
+                down = None
+            else:
+                sigmas = (None,) + tuple(
+                    layers[base + n].sigma for n in range(1, lpo_g))
+                down = layers[base].dims
 
-            dog = [ops3d.dog_layer(g_vols[n + 1], g_vols[n])
-                   for n in range(lpo_g - 1)]
-
+            lp = []
             for n in range(1, cfg.n_octave_layers + 1):
                 g = layers[base + n]
                 voxels = int(np.prod(g.dims))
                 k_e = int(np.clip(voxels // 1024, 256, 65536))
                 k_e = 1 << (k_e - 1).bit_length()  # pow2: lax.map chunking
-                x, y, z, ok = ops3d.extrema_compact(
-                    dog[n - 1][0], dog[n][0], dog[n + 1][0],
-                    cfg.alpha * dog[n][1], k_cap=k_e)
-
                 scale = g.scale
-                units = jnp.asarray(np.array(g.units, np.float32))
                 r_cap = (min(g.dims) - 1) // 2
                 r_orient = min(_bucket8(
                     int(math.ceil(3.0 * 1.5 * scale / g.units[0])) + 1), r_cap)
                 sphere = 2.0 * 5.0 * math.sqrt(2.0) * scale
                 r_desc = min(
                     _bucket8(int(math.ceil(sphere / g.units[0])) + 1), r_cap)
-
                 chunk_o = ops3d._pow2_chunk(k_e, 2 * r_orient + 1)
-                rot, ok2 = ops3d.orient_keypoints(
-                    g_vols[n], x, y, z, ok, jnp.float32(scale), units,
-                    jnp.float32(cfg.gradient_threshold),
-                    jnp.float32(cfg.beta), jnp.float32(cfg.gamma),
-                    r=r_orient, chunk=chunk_o)
-                ok = ok & ok2
-
-                # compact survivors so the (much wider) descriptor windows
-                # only run on plausible keypoints
                 k_d = max(k_e // 2, 256)
-                idx, okd = ops3d.compact_keypoints(ok, k_d)
-                xd, yd, zd, rotd = x[idx], y[idx], z[idx], rot[idx]
                 chunk_d = ops3d._pow2_chunk(k_d, 2 * r_desc + 1)
-                desc = ops3d.describe_keypoints(
-                    g_vols[n], xd, yd, zd, okd, rotd, jnp.float32(scale),
-                    units, jnp.float32(cfg.truncate_threshold),
-                    r=r_desc, chunk=chunk_d)
-                staged.append((xd, yd, zd, okd, desc, m, n, scale))
-                self._progress(f"octave {m} layer {n}: programs queued "
-                               f"(k_e={k_e}, r_o={r_orient}, r_d={r_desc})")
+                lp.append((n, k_e, r_orient, chunk_o, k_d, r_desc, chunk_d,
+                           scale))
 
-            # drain this octave (desc is the terminal consumer of g_vols)
-            # before building the next one's pyramid
+            seed, outs = ops3d.octave_features(
+                seed, alpha, grad_thr, beta, gamma, trunc,
+                sigmas=sigmas, unit_xyz=layers[base].units,
+                downsample_to=down, layer_params=tuple(lp),
+                seed_layer=cfg.n_octave_layers)
+            for (n, *_rest), (xd, yd, zd, okd, desc) in zip(lp, outs):
+                staged.append((xd, yd, zd, okd, desc, m, n,
+                               layers[base + n].scale))
+
+            # drain this octave before dispatching the next one's program
+            # (bounds live HBM across octaves; block != transfer)
             jax.block_until_ready([(s[3], s[4]) for s in
                                    staged[-cfg.n_octave_layers:]])
-            del g_vols, dog
             self._progress(f"octave {m} done ({layers[base].dims})")
 
         # merge all layers into one fixed-size device table (NO host syncs:

@@ -62,17 +62,11 @@ ICOSA_VERTICES = np.array(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "unit_xyz"))
-def gaussian_blur(vol: jnp.ndarray, sigma: float, unit_xyz) -> jnp.ndarray:
-    """Separable Gaussian blur with mirror extension (oc_sift.cpp:365-548).
-
-    Kernel radius per axis: ceil(3 sigma) scaled by unit_max/unit_axis
-    (rounded), minimum radius 1; taps exp(-0.5 (i/sigma)^2), normalized.
-
-    Jitted with static (sigma, unit_xyz): each (shape, sigma) pair is ONE
-    fused XLA program instead of ~35 eager dispatches — at CT scale the eager
-    chain was both dispatch-bound and HBM-churning.
-    """
+def _blur_body(vol: jnp.ndarray, sigma: float, unit_xyz) -> jnp.ndarray:
+    """Traced body of the separable mirror-extension blur (oc_sift.cpp:
+    365-548).  Kernel radius per axis: ceil(3 sigma) scaled by
+    unit_max/unit_axis (rounded), minimum radius 1; taps exp(-0.5 (i/sigma)^2),
+    normalized."""
     unit_max = max(unit_xyz)
     if sigma > 0:
         kernel_radius = max(int(math.ceil(3.0 * sigma)), 1)
@@ -102,6 +96,43 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float, unit_xyz) -> jnp.ndarray:
             acc = acc + taps[r] * (lo + hi)
         out = acc
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "unit_xyz"))
+def gaussian_blur(vol: jnp.ndarray, sigma: float, unit_xyz) -> jnp.ndarray:
+    """One jitted blur (host-path twin; the device pipeline uses
+    ``octave_stack``)."""
+    return _blur_body(vol, sigma, unit_xyz)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sigmas", "unit_xyz", "downsample_to"))
+def octave_stack(seed: jnp.ndarray, *, sigmas, unit_xyz, downsample_to=None):
+    """ONE program per octave: optional stride-2 downsample of the seed, the
+    octave's whole blur chain, every DoG layer and its max|.|.
+
+    The per-layer program chain (6 blurs + 5 DoGs per octave) cost ~30
+    dispatches per octave; through the axon tunnel a degraded session pays
+    ~10-25 ms EACH, which dominated SIFT3D wall time (device compute for the
+    full Torus extraction is ~0.1 s).  ``sigmas[i]`` is layer i's incremental
+    blur (None for a downsampled layer 0).
+
+    Returns (g_vols tuple, dogs tuple, max_abs tuple).
+    """
+    if downsample_to is not None:
+        dz, dy, dx = downsample_to
+        seed = seed[: 2 * dz : 2, : 2 * dy : 2, : 2 * dx : 2]
+    g = []
+    v = seed
+    for i, s in enumerate(sigmas):
+        if s is None:
+            v = seed
+        else:
+            v = _blur_body(g[i - 1] if i else seed, s, unit_xyz)
+        g.append(v)
+    dogs = [g[i + 1] - g[i] for i in range(len(g) - 1)]
+    max_abs = [jnp.max(jnp.abs(d)) for d in dogs]
+    return tuple(g), tuple(dogs), tuple(max_abs)
 
 
 def downsample(vol: jnp.ndarray, dst_shape) -> jnp.ndarray:
@@ -363,107 +394,108 @@ def construct_descriptor(
     gyv = 0.5 * (_sh(win, 0, 1, 0) - _sh(win, 0, -1, 0)) / units[1] * weight
     gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2] * weight
     ggx, ggy, ggz = rotate(rot, gxv, gyv, gzv)
-    mag2 = ggx * ggx + ggy * ggy + ggz * ggz
-    eps10 = jnp.float32(np.finfo(np.float32).eps * 10.0)
-    valid = valid & (mag2 >= eps10)
-    mag = jnp.sqrt(jnp.maximum(mag2, 1e-30))
 
-    # --- icosahedron triangle search (cartisan2Barycentric, :579-624) ------
-    # Static loop over the 20 tiles with first-match accumulators: keeps peak
-    # memory at O(K*V) instead of O(K*V*20*3).
+    # --- slab-scanned histogram ---------------------------------------------
+    # Everything per-voxel from here on (gradient magnitude, icosahedron
+    # barycentric search, trilinear tent weights, the [64, vs] x [vs, 12]
+    # MXU contraction) runs per voxel-SLAB inside one lax.scan, so the
+    # [K, V] working tensors live in VMEM per slab instead of HBM:
+    #
+    # * the original per-voxel scatter-add serialized on conflicting bins
+    #   (~80 ms PER KEYPOINT at octave-0 CT scale) and a full-cap descriptor
+    #   program ran long enough to kill the TPU worker;
+    # * a whole-V barycentric loop rewrote five [K, V] accumulators per
+    #   triangle (~8 GB of HBM traffic per 64-keypoint chunk);
+    # * a whole-V [K, V, 64] cube-weight operand would be GBs.
+    #
+    # The 8-corner trilinear spread is a per-axis tent kernel over the 4
+    # cube bins, so the histogram is
+    #   desc[cube, vertex] = sum_v (tent_z (x) tent_y (x) tent_x)[v, cube]
+    #                              * (mag * sum_j bary_j * onehot12(vidx_j))
+    # with the tent construction reproducing the reference's (int)
+    # truncation quirk exactly (ix truncated, dxw from floor;
+    # oc_sift.cpp:1184-1199).  Only six [K, V] f32 flats (rotated weighted
+    # gradients + rotated sub-coordinates) and one validity mask are
+    # materialized between the rank-4 stage and the scan.
+    eps10 = jnp.float32(np.finfo(np.float32).eps * 10.0)
+    tol = -eps10
     verts = ICOSA_VERTICES
     tri = ICOSA_TRIPLETS
 
-    gx_f = ggx.reshape(k, v)
-    gy_f = ggy.reshape(k, v)
-    gz_f = ggz.reshape(k, v)
-    tol = -eps10
-    found = jnp.zeros((k, v), bool)
-    baryx = jnp.zeros((k, v), f32)
-    baryy = jnp.zeros((k, v), f32)
-    baryz = jnp.zeros((k, v), f32)
-    tidx = jnp.zeros((k, v), jnp.int32)
-    for t in range(20):
-        v1, v2, v3 = verts[tri[t, 0]], verts[tri[t, 1]], verts[tri[t, 2]]
-        e1 = v2 - v1
-        e2 = v3 - v1
-        tv = -v1
-        qv = np.cross(tv, e1).astype(np.float32)
-        qe2 = float(np.dot(qv, e2))
-        # p = g x e2 (components expanded; e2 is a compile-time constant)
-        p0 = gy_f * e2[2] - gz_f * e2[1]
-        p1 = gz_f * e2[0] - gx_f * e2[2]
-        p2 = gx_f * e2[1] - gy_f * e2[0]
-        det = e1[0] * p0 + e1[1] * p1 + e1[2] * p2
-        det_ok = jnp.abs(det) >= eps10
-        det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
-        bz_t = det_inv * (gx_f * qv[0] + gy_f * qv[1] + gz_f * qv[2])
-        by_t = det_inv * (p0 * tv[0] + p1 * tv[1] + p2 * tv[2])
-        bx_t = 1.0 - by_t - bz_t
-        kk = det_inv * qe2
-        ok_t = det_ok & (kk >= 0) & (bx_t > tol) & (by_t > tol) & (bz_t > tol)
-        # residual check (oc_sift.cpp:615-620)
-        r0 = kk * gx_f - (bx_t * v1[0] + by_t * v2[0] + bz_t * v3[0])
-        r1 = kk * gy_f - (bx_t * v1[1] + by_t * v2[1] + bz_t * v3[1])
-        r2 = kk * gz_f - (bx_t * v1[2] + by_t * v2[2] + bz_t * v3[2])
-        ok_t = ok_t & (r0 * r0 + r1 * r1 + r2 * r2 <= eps10 * eps10)
-        take_t = ok_t & ~found
-        baryx = jnp.where(take_t, bx_t, baryx)
-        baryy = jnp.where(take_t, by_t, baryy)
-        baryz = jnp.where(take_t, bz_t, baryz)
-        tidx = jnp.where(take_t, t, tidx)
-        found = found | ok_t
-    valid = valid.reshape(k, v) & found
-    vidx = jnp.asarray(tri)[tidx]  # [K, V, 3]
+    vs = min(4096, v)
+    pad_v = -v % vs
+    nv = (v + pad_v) // vs
 
-    # --- trilinear scatter into 4x4x4 cubes x 12 vertices ------------------
-    sxf = sub_x.reshape(k, v)
-    syf = sub_y.reshape(k, v)
-    szf = sub_z.reshape(k, v)
-    fx = jnp.floor(sxf)
-    fy = jnp.floor(syf)
-    fz = jnp.floor(szf)
-    dxw = sxf - fx
-    dyw = syf - fy
-    dzw = szf - fz
-    # (int) truncation for cube indexing (oc_sift.cpp:1184-1186)
-    ix = sxf.astype(jnp.int32)
-    iy = syf.astype(jnp.int32)
-    iz = szf.astype(jnp.int32)
+    def _slab_view(a, fill=0):
+        a = a.reshape(k, v)
+        a = jnp.pad(a, ((0, 0), (0, pad_v)), constant_values=fill)
+        return a.reshape(k, nv, vs).transpose(1, 0, 2)  # [nv, K, vs]
 
-    magf = mag.reshape(k, v) * valid
+    slabs = tuple(_slab_view(a) for a in (
+        ggx, ggy, ggz, sub_x, sub_y, sub_z)) + (_slab_view(valid, False),)
+    a4 = jnp.arange(4, dtype=f32)
+    j12 = jnp.arange(12, dtype=f32)
 
-    bins = []
-    vals = []
-    for dzc in (0, 1):
-        for dyc in (0, 1):
-            for dxc in (0, 1):
-                lx = ix + dxc
-                ly = iy + dyc
-                lz = iz + dzc
-                cube_ok = (
-                    (lx >= 0) & (ly >= 0) & (lz >= 0)
-                    & (lx < 4) & (ly < 4) & (lz < 4)
-                )
-                cube = lx + ly * 4 + lz * 16
-                w = (
-                    jnp.where(dxc == 0, 1.0 - dxw, dxw)
-                    * jnp.where(dyc == 0, 1.0 - dyw, dyw)
-                    * jnp.where(dzc == 0, 1.0 - dzw, dzw)
-                )
-                contrib = magf * w * cube_ok
-                for j, b in enumerate((baryx, baryy, baryz)):
-                    bin_idx = jnp.where(cube_ok, cube * 12 + vidx[..., j], 0)
-                    bins.append(bin_idx)
-                    vals.append(contrib * b)
+    def body(acc, xs):
+        gx_f, gy_f, gz_f, sxf, syf, szf, ok_in = xs
+        mag2 = gx_f * gx_f + gy_f * gy_f + gz_f * gz_f
+        okv = ok_in & (mag2 >= eps10)
+        mg = jnp.sqrt(jnp.maximum(mag2, 1e-30))
 
-    bins_all = jnp.stack(bins, axis=-1).reshape(k, -1)  # [K, V*24]
-    vals_all = jnp.stack(vals, axis=-1).reshape(k, -1)
+        # icosahedron triangle search (cartisan2Barycentric, :579-624);
+        # the first-matching triangle's barycentric coordinates fold into
+        # per-vertex weights vw0 directly (static one-hot rows per triangle)
+        found = jnp.zeros_like(mag2, bool)
+        vw0 = jnp.zeros_like(mag2[..., None] * j12)  # [K, vs, 12]
+        for t in range(20):
+            v1, v2, v3 = verts[tri[t, 0]], verts[tri[t, 1]], verts[tri[t, 2]]
+            e1 = v2 - v1
+            e2 = v3 - v1
+            tv = -v1
+            qv = np.cross(tv, e1).astype(np.float32)
+            qe2 = float(np.dot(qv, e2))
+            p0 = gy_f * e2[2] - gz_f * e2[1]
+            p1 = gz_f * e2[0] - gx_f * e2[2]
+            p2 = gx_f * e2[1] - gy_f * e2[0]
+            det = e1[0] * p0 + e1[1] * p1 + e1[2] * p2
+            det_ok = jnp.abs(det) >= eps10
+            det_inv = 1.0 / jnp.where(det_ok, det, 1.0)
+            bz_t = det_inv * (gx_f * qv[0] + gy_f * qv[1] + gz_f * qv[2])
+            by_t = det_inv * (p0 * tv[0] + p1 * tv[1] + p2 * tv[2])
+            bx_t = 1.0 - by_t - bz_t
+            kk = det_inv * qe2
+            ok_t = det_ok & (kk >= 0) & (bx_t > tol) & (by_t > tol) & (bz_t > tol)
+            # residual check (oc_sift.cpp:615-620)
+            r0 = kk * gx_f - (bx_t * v1[0] + by_t * v2[0] + bz_t * v3[0])
+            r1 = kk * gy_f - (bx_t * v1[1] + by_t * v2[1] + bz_t * v3[1])
+            r2 = kk * gz_f - (bx_t * v1[2] + by_t * v2[2] + bz_t * v3[2])
+            ok_t = ok_t & (r0 * r0 + r1 * r1 + r2 * r2 <= eps10 * eps10)
+            take_t = ok_t & ~found
+            oh = ((j12 == float(tri[t, 0])) * bx_t[..., None]
+                  + (j12 == float(tri[t, 1])) * by_t[..., None]
+                  + (j12 == float(tri[t, 2])) * bz_t[..., None])
+            vw0 = jnp.where(take_t[..., None], oh, vw0)
+            found = found | ok_t
+        okv = okv & found
+        mgf = mg * okv
 
-    def scatter_one(b, x):
-        return jnp.zeros(768, f32).at[b].add(x)
+        # trilinear tents ((int) truncation, oc_sift.cpp:1184-1186)
+        def tent(sub):
+            i = sub.astype(jnp.int32).astype(f32)
+            dfrac = sub - jnp.floor(sub)
+            return ((a4 == i[..., None]) * (1.0 - dfrac[..., None])
+                    + (a4 == i[..., None] + 1.0) * dfrac[..., None])
 
-    desc = jax.vmap(scatter_one)(bins_all, vals_all)
+        wx = tent(sxf)  # [K, vs, 4]
+        wy = tent(syf)
+        wz = tent(szf)
+        cube_w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
+                  * wx[:, :, None, None, :]).reshape(k, vs, 64)
+        vert_w = vw0 * mgf[..., None]  # [K, vs, 12]
+        return acc + jnp.einsum("kvc,kvj->kcj", cube_w, vert_w), None
+
+    desc, _ = jax.lax.scan(body, jnp.zeros((k, 64, 12), f32), slabs)
+    desc = desc.reshape(k, 768)
 
     # normalize -> truncate -> normalize (oc_sift.cpp:1217-1248)
     eps = jnp.float32(np.finfo(np.float32).eps)
@@ -573,12 +605,84 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
     return desc.reshape(-1, 768)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "sigmas", "unit_xyz", "downsample_to", "layer_params", "seed_layer"))
+def octave_features(
+    seed: jnp.ndarray,
+    alpha: jnp.ndarray,
+    grad_threshold: jnp.ndarray,
+    beta: jnp.ndarray,
+    gamma: jnp.ndarray,
+    truncate: jnp.ndarray,
+    *,
+    sigmas,
+    unit_xyz,
+    downsample_to,
+    layer_params,
+    seed_layer: int,
+):
+    """An octave's ENTIRE feature path as one program: downsample + blur
+    chain + DoGs + per-layer extrema compaction, orientation, survivor
+    compaction and descriptors.
+
+    Rationale: the per-stage chain is ~30 programs per octave; after a TPU
+    worker crash this sandbox's sessions dispatch at ~10-40 ms each
+    (polled mode), so wall time is dispatch-count-bound — device compute for
+    a full Torus-scale extraction is ~0.1 s.  One program per octave (plus
+    the final assembly) makes the pipeline latency-robust; XLA's buffer
+    assignment also frees each blur/DoG as soon as its last consumer runs,
+    which the per-stage chain could only approximate with per-octave drains.
+
+    ``layer_params``: tuple of (layer_index, k_e, r_orient, chunk_o, k_d,
+    r_desc, chunk_d, scale) per extraction layer.  Returns
+    (next_seed, ((x, y, z, ok, desc) per layer, ...)).
+    """
+    if downsample_to is not None:
+        dz, dy, dx = downsample_to
+        seed = seed[: 2 * dz : 2, : 2 * dy : 2, : 2 * dx : 2]
+    g = []
+    for i, s in enumerate(sigmas):
+        if s is None:
+            g.append(seed)
+        else:
+            g.append(_blur_body(g[i - 1] if i else seed, s, unit_xyz))
+    dogs = [g[i + 1] - g[i] for i in range(len(g) - 1)]
+    max_abs = [jnp.max(jnp.abs(d)) for d in dogs]
+
+    units_arr = jnp.asarray(np.array(unit_xyz, np.float32))
+    outs = []
+    for (n, k_e, r_o, chunk_o, k_d, r_d, chunk_d, scale) in layer_params:
+        x, y, z, ok = extrema_compact(
+            dogs[n - 1], dogs[n], dogs[n + 1], alpha * max_abs[n], k_cap=k_e)
+        rot, ok2 = orient_keypoints(
+            g[n], x, y, z, ok, jnp.float32(scale), units_arr,
+            grad_threshold, beta, gamma, r=r_o, chunk=chunk_o)
+        ok = ok & ok2
+        xd, yd, zd, rotd, okd = compact_gather(ok, x, y, z, rot, k_cap=k_d)
+        desc = describe_keypoints(
+            g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
+            truncate, r=r_d, chunk=chunk_d)
+        outs.append((xd, yd, zd, okd, desc))
+    return g[seed_layer], tuple(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("k_cap",))
 def compact_keypoints(ok, k_cap):
     """Scan-order compaction of a validity mask: (idx [k_cap], ok [k_cap])."""
     from .sift2d import _compact
 
     return _compact(ok, k_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def compact_gather(ok, x, y, z, rot, *, k_cap):
+    """Compaction + survivor gathers in one program (the eager x[idx] chain
+    cost 4 extra dispatches per pyramid layer).  Returns
+    (x, y, z, rot, ok) at [k_cap]."""
+    from .sift2d import _compact
+
+    idx, okc = _compact(ok, k_cap)
+    return x[idx], y[idx], z[idx], rot[idx], okc
 
 
 @functools.partial(jax.jit, static_argnames=("k_cap",))
