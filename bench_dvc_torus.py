@@ -27,6 +27,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 import opencorr_tpu as oc
 
@@ -138,20 +139,25 @@ def stage_sift():
         jax.block_until_ready((kp1d, ok1d, kp2d, ok2d, d12, i12))
         return kp1d, desc1d, ok1d, kp2d, desc2d, ok2d, d12, i12
 
+    def run_forced():
+        """One full pipeline pass timed to a SCALAR readback: through the
+        axon tunnel, block_until_ready on a multi-program chain returns at
+        enqueue, not completion (PERF.md measurement-validity note) — only a
+        value readback proves the device finished."""
+        t0 = time.time()
+        out = run()
+        n_matches = int(np.asarray(jnp.sum(out[2])) + np.asarray(jnp.sum(out[5])))
+        return time.time() - t0, out, n_matches
+
     t0 = time.time()
-    run()  # compile / compile-cache load
+    run()  # compile / compile-cache load (enqueue only)
     cold_s = time.time() - t0
-    t0 = time.time()
-    run()  # the tunnel's one-time per-program first-execution overhead
-    warm_s = time.time() - t0
-    # steady state: every program of the ~10^2-program chain has executed
-    # once in this process; this is the repeat-throughput a service sees
-    t0 = time.time()
-    kp1d, desc1d, ok1d, kp2d, desc2d, ok2d, d12, i12 = run()
-    device_s = time.time() - t0
+    dt1, _, _ = run_forced()  # absorbs compile/first-exec stragglers
+    device_s, (kp1d, desc1d, ok1d, kp2d, desc2d, ok2d, d12, i12), nkp = \
+        run_forced()
     print(json.dumps({"stage": "SIFT_device", "cold_s": round(cold_s, 2),
-                      "warm_s": round(warm_s, 2),
-                      "seconds": round(device_s, 2),
+                      "warm_s": round(dt1, 2),
+                      "seconds": round(device_s, 2), "kp_total": nkp,
                       "vs_baseline": round(BASE["SIFT"] / device_s, 1)}),
           flush=True)
 
@@ -201,6 +207,11 @@ def stage_dic():
     # steady = cached candidates, warm program.  Host POI coords are passed
     # explicitly: reading table.x back here would flip the tunnel session into
     # polled dispatch mode and poison every later timing (CLAUDE.md gotcha).
+    # Stage timings are forced by a scalar readback (block_until_ready
+    # returns at enqueue through this tunnel, PERF.md note); the readback
+    # drains the queued chunk dispatches at the tunnel's poll interval, so
+    # these are UPPER bounds that include tunnel drain a real deployment
+    # would not pay.
     t0 = time.time()
     fa.prepare(pois0, points=pois_xyz[:, :3])
     seeded = fa.compute(pois0)
@@ -208,7 +219,7 @@ def stage_dic():
     fa_cold = time.time() - t0
     t0 = time.time()
     seeded = fa.compute(pois0)
-    jax.block_until_ready(seeded.p)
+    _ = float(np.asarray(jnp.sum(seeded.p[:, 0])))
     timings["FeatureAffine"] = fa_steady = time.time() - t0
     print(json.dumps({"stage": "FeatureAffine", "cold_s": round(fa_cold, 2),
                       "seconds": round(fa_steady, 3),
@@ -226,7 +237,7 @@ def stage_dic():
     icgn_cold = time.time() - t0
     t0 = time.time()
     pois = icgn.compute(seeded)
-    jax.block_until_ready(pois.p)
+    _ = float(np.asarray(jnp.sum(pois.p[:, 0])))
     timings["ICGN"] = icgn_steady = time.time() - t0
     print(json.dumps({"stage": "ICGN", "cold_s": round(icgn_cold, 2),
                       "seconds": round(icgn_steady, 2),

@@ -36,8 +36,13 @@ def _pad_len(n: int, chunk: int) -> int:
 import collections
 import os as _os
 
-# Chunks per lax.scan dispatch in chunked() (1 = plain per-chunk host loop).
-SCAN_GROUP = int(_os.environ.get("OPENCORR_TPU_SCAN_GROUP", "8"))
+# Chunks per lax.scan dispatch in chunked() (1 = plain per-chunk programs).
+# Default 1: wrapping the IC-GN while_loop in a lax.scan/fori FAULTS the
+# TPU through this sandbox's stack (verified round 3 by forcing readbacks:
+# a single direct chunk converges, the same body under a scan kills the
+# worker).  Grouping only saves per-dispatch overhead; re-enable on real
+# hardware after verifying a scan-wrapped chunk end-to-end.
+SCAN_GROUP = int(_os.environ.get("OPENCORR_TPU_SCAN_GROUP", "1"))
 
 
 class Memo:
@@ -183,7 +188,10 @@ class _ChunkPrograms:
         padded = _pad_len(n, chunk)
         pad = padded - n
         k = padded // chunk
-        g, tail = divmod(k, group)
+        # group == 1: per-chunk tail programs only (no lax.scan wrapper at
+        # all — see the SCAN_GROUP note; a length-1 scan still wraps the
+        # body in loop machinery)
+        g, tail = (0, k) if group == 1 else divmod(k, group)
         big = list(self.pad(pad, *flat)) if pad else list(flat)
         args = big + list(const_flat)
         outs = []

@@ -22,6 +22,7 @@ separable 15-tap symmetric prefilter along x, y, z with edge clamping (taps
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -167,7 +168,30 @@ def _basis(d: jnp.ndarray) -> jnp.ndarray:
 def tricubic_eval(coeff: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
                   zs: jnp.ndarray):
     """Evaluate the tricubic spline at float coords; -1 sentinel outside
-    [1, dim-2) on any axis (oc_cubic_bspline.cpp:353-405)."""
+    [1, dim-2) on any axis (oc_cubic_bspline.cpp:353-405).
+
+    Large sample batches are evaluated in slabs under a lax.map: the 64-tap
+    gather materializes [P, 64] f32 — at DVC CT scale (a 250-POI ICGN chunk
+    is P = 9M warped samples PER Gauss-Newton iteration) that is a 2.3 GB
+    transient which, scheduled alongside the iteration's other buffers,
+    OOM-faulted the v5e (the fault only surfaced at the next readback)."""
+    size = 1
+    for d in xs.shape:
+        size *= d
+    slab = 1 << 20
+    if size > 2 * slab:
+        shp = xs.shape
+        pad = -size % slab
+        flat = lambda a: jnp.pad(a.reshape(-1), (0, pad)).reshape(-1, slab)
+        vals, oobs = jax.lax.map(
+            lambda t: _tricubic_eval_impl(coeff, *t),
+            (flat(xs), flat(ys), flat(zs)))
+        return (vals.reshape(-1)[:size].reshape(shp),
+                oobs.reshape(-1)[:size].reshape(shp))
+    return _tricubic_eval_impl(coeff, xs, ys, zs)
+
+
+def _tricubic_eval_impl(coeff, xs, ys, zs):
     dz, dy, dx = coeff.shape
     oob = (
         (xs < 1) | (ys < 1) | (zs < 1)
