@@ -533,6 +533,15 @@ def icgn3d1(
     gxs = gather_subsets_3d(gx, x0, y0, z0, rx, ry, rz).reshape(n, s)
     gys = gather_subsets_3d(gy, x0, y0, z0, rx, ry, rz).reshape(n, s)
     gzs = gather_subsets_3d(gz, x0, y0, z0, rx, ry, rz).reshape(n, s)
+
+    # NOTE (round-3 finding): interpolating through per-POI coefficient
+    # WINDOWS instead of the global volume is 17.6x faster on TPU
+    # (bspline.tricubic_eval_windowed, standalone-verified bit-exact), but
+    # wiring it here produced a reproducible TPU miscompile — the eval's
+    # range mask reads all-true for in-range coordinates when composed with
+    # the window gather in one program, on this sandbox's compiler stack
+    # (CPU exact, every isolated TPU composition exact).  The global-LUT
+    # path below is correct everywhere; revisit on real hardware.
     # sd channel order matches the 3D p layout (oc_icgn.cpp:1314-1325).
     sd = jnp.stack(
         [

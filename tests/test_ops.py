@@ -172,3 +172,44 @@ class TestWarp:
         assert abs(w[1, 1] - (1 + uy * vx + ux * vy + v * uxy + u * vxy + vy + ux)) < 1e-5
         assert abs(w[2, 4] - (2 * v * (1 + vy))) < 1e-5
         assert abs(w[4, 0] - 0.5 * vxx) < 1e-6
+
+
+def test_tricubic_eval_windowed_matches_global():
+    """Per-POI windowed tricubic eval (bspline.tricubic_eval_windowed) must
+    match the whole-volume eval exactly for in-window samples, including the
+    lax.map slab path (forced via many samples)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opencorr_tpu.ops import bspline
+    from opencorr_tpu.ops.icgn import gather_subsets_3d
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((40, 44, 48)).astype(np.float32) * 100
+    coeff = bspline.tricubic_prepare(jnp.asarray(vol))
+    dz, dy, dx = coeff.shape
+    n, s = 16, 2048
+    r, mgn = 8, 8
+    sw = 2 * (r + mgn) + 1
+    cx = rng.uniform(18, 30, n).astype(np.float32)
+    cy = rng.uniform(18, 26, n).astype(np.float32)
+    cz = rng.uniform(18, 22, n).astype(np.float32)
+    gx = jnp.asarray(cx[:, None] + rng.uniform(-7, 7, (n, s)).astype(np.float32))
+    gy = jnp.asarray(cy[:, None] + rng.uniform(-7, 7, (n, s)).astype(np.float32))
+    gz = jnp.asarray(cz[:, None] + rng.uniform(-7, 7, (n, s)).astype(np.float32))
+    x0 = np.clip(np.floor(cx + 0.5).astype(np.int32) - r - mgn, 0, dx - sw)
+    y0 = np.clip(np.floor(cy + 0.5).astype(np.int32) - r - mgn, 0, dy - sw)
+    z0 = np.clip(np.floor(cz + 0.5).astype(np.int32) - r - mgn, 0, dz - sw)
+    cwin = gather_subsets_3d(coeff, jnp.asarray(x0), jnp.asarray(y0),
+                             jnp.asarray(z0), r + mgn, r + mgn, r + mgn)
+    oobg = (gx < 1) | (gy < 1) | (gz < 1) | (gx >= dx - 2) | (gy >= dy - 2) | (gz >= dz - 2)
+    v_w, o_w = bspline.tricubic_eval_windowed(
+        cwin, gx - jnp.asarray(x0.astype(np.float32))[:, None],
+        gy - jnp.asarray(y0.astype(np.float32))[:, None],
+        gz - jnp.asarray(z0.astype(np.float32))[:, None], oobg)
+    v_g, o_g = bspline.tricubic_eval(coeff, gx, gy, gz)
+    a, b = np.asarray(v_g), np.asarray(v_w)
+    both = np.asarray(~o_g & ~o_w)
+    assert both.mean() > 0.95  # margin covers nearly all samples
+    assert np.allclose(a[both], b[both], atol=1e-3)
+    # windowed never reports in-range where global says out-of-range
+    assert not np.any(np.asarray(o_g & ~o_w))
