@@ -75,9 +75,15 @@ class Memo:
 from ..utils.hosthints import host_hint, register_host_hint  # re-exported
 
 
-def _carry_host_hints(src, dst, fields=("x", "y", "z", "sr")):
+def _carry_host_hints(src, dst, fields=("x", "y", "z")):
     """Propagate host hints across a compute() that rebuilt the coordinate
-    buffers with identical values (the chunk glue's pad/slice/concat)."""
+    buffers with identical values (the chunk glue's pad/slice/concat).
+
+    Only fields no compute() ever mutates are carried by default.  ``sr`` is
+    deliberately NOT in the list: non-adaptive ICGN/ICLM rewrite sr to their
+    static radii for computed POIs (models/icgn.py), so a carried pre-compute
+    hint would silently clamp a later self-adaptive kernel's r_max to stale
+    values (round-3 advisor finding)."""
     for f in fields:
         s = getattr(src, f, None)
         d = getattr(dst, f, None)

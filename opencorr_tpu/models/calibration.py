@@ -177,10 +177,15 @@ class Calibration:
         self.iteration = 40  # :24
         self.map_x = None
         self.map_y = None
+        # Bumped whenever derived state (matrices / undistortion maps) is
+        # rebuilt; consumers that memoize device copies (Stereovision) compare
+        # it to invalidate their caches.
+        self.version = 0
         self.update_matrices()
 
     # -- matrices -----------------------------------------------------------
     def update_matrices(self):
+        self.version += 1
         i = self.intrinsics
         self.intrinsic_matrix = np.array(
             [[i.fx, i.fs, i.cx], [0, i.fy, i.cy], [0, 0, 1]], np.float32
@@ -214,6 +219,7 @@ class Calibration:
 
     # -- undistortion -------------------------------------------------------
     def prepare(self, height: int, width: int):
+        self.version += 1
         self.map_x, self.map_y = _build_undistortion_maps(
             self._intr_vec(), jnp.float32(self.convergence),
             height=int(height), width=int(width), iteration=self.iteration,

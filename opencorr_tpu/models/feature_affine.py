@@ -293,8 +293,15 @@ class FeatureAffine2D(base.Module2D):
         Host-side numpy (the queue is tiny relative to refinement cost); the
         RANSAC stage reuses the batched device kernel with the KNN radius.
         """
-        xs = np.asarray(table.x).copy()
-        ys = np.asarray(table.y).copy()
+        xs = base.host_hint(table.x)
+        ys = base.host_hint(table.y)
+        if xs is None or ys is None:  # fresh-queue fallback: one readback
+            xs = np.asarray(table.x)  # (new_table_* registers these hints,
+            ys = np.asarray(table.y)  # so this only fires for ad-hoc tables)
+            base.register_host_hint(table.x, xs)
+            base.register_host_hint(table.y, ys)
+        xs = xs.copy()
+        ys = ys.copy()
         n = table.n
         k = min(self.subset_feature_min, len(self.ref_kp))
         if self._tree is None:

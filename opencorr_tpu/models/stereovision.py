@@ -91,14 +91,19 @@ class Stereovision:
 
         NaN inputs produce the zero point (oc_stereovision.cpp:72-76).
         """
-        if self._dev is None:
-            self._dev = (
+        # Memo is keyed on the cameras' version counters: a caller that
+        # re-runs Calibration.prepare()/update_matrices() without
+        # Stereovision.prepare() must not triangulate with stale projection
+        # matrices against fresh undistortion maps (round-3 advisor finding).
+        ver = (self.view1_cam.version, self.view2_cam.version)
+        if self._dev is None or self._dev[0] != ver:
+            self._dev = (ver, (
                 self.view1_cam._intr_vec(),
                 jnp.asarray(self.view1_cam.projection_matrix),
                 self.view2_cam._intr_vec(),
                 jnp.asarray(self.view2_cam.projection_matrix),
-            )
-        i1, p1m, i2, p2m = self._dev
+            ))
+        i1, p1m, i2, p2m = self._dev[1]
         return _reconstruct_full(
             self.view1_cam.map_x, self.view1_cam.map_y, i1, p1m,
             self.view2_cam.map_x, self.view2_cam.map_y, i2, p2m,

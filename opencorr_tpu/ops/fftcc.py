@@ -230,11 +230,13 @@ def fftcc3d(
         jnp.all(ref_w == ri, axis=(1, 2, 3))
         & jnp.all(tar_w == ti, axis=(1, 2, 3))
     )
-    # Partial-sum range guard: V * (max|p|/256 + 1) must stay within int32
-    # (the lo sum's V * 255 bound holds for any window under 8.4M voxels).
+    # Partial-sum range guard: V * (max|p|/256 + 1) bounds the hi sum, and
+    # V * 255 bounds the lo sum regardless of cap (negative products leave
+    # p & 0xFF up to 255 even when cap is small) — both must stay in int32.
     cap = jnp.max(jnp.abs(ri), axis=(1, 2, 3)) * jnp.max(
         jnp.abs(ti), axis=(1, 2, 3))
     is_int = is_int & (v * (cap / 256.0 + 1.0) < 0.99 * 2.0**31)
+    is_int = is_int & (v * 255.0 < 0.99 * 2.0**31)
     ri_flat = ri.reshape(n, v).astype(jnp.int32)
     ti_flat = ti.reshape(n, v).astype(jnp.int32)
     _, cand = jax.lax.top_k(flat, 8)  # [N, 8]
