@@ -1,0 +1,235 @@
+"""A/B microbench: tricubic sample-gather layouts for ICGN3D1 at CT scale.
+
+The DVC refine loop is gather-bound (PERF.md "DVC at CT scale"): each
+Gauss-Newton iteration evaluates the tricubic spline at N_poi * (2r+1)^3
+warped points, 64 taps each.  Candidates:
+
+  A  global volume, scattered flat-64 gather      (ops/bspline._tricubic_eval_impl)
+  B  per-POI coefficient windows, flat-64 gather  (ops/bspline.tricubic_eval_windowed)
+  C  per-POI windows expanded to a contiguous 64-wide TILE LUT
+     (the 3D analog of the 2D engine's [H, W, 4, 4] tile gather,
+     oc_cubic_bspline.cpp:84-132 structure): ONE gather index per sample
+     reading 64 contiguous floats — 64x fewer indices than A/B at 64x
+     window memory (only viable per-window; globally it would be 39 GB)
+  W  the per-chunk window slice gather (setup cost for B/C)
+  T  the per-chunk tile-LUT build (setup cost for C)
+
+Timing method (this sandbox, CLAUDE.md): `block_until_ready` returns at
+ENQUEUE through the axon tunnel — even for single programs here — so each
+measurement chains k data-dependent runs and forces ONE scalar readback;
+the (k_hi - k_lo) slope across two fresh subprocesses cancels both setup
+and tunnel queue-drain constants.  Orchestrate: `python bench_gather_ab.py`.
+Single run: `python bench_gather_ab.py run CAND K [N]`.
+"""
+
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DIMS = (568, 288, 940)  # Torus volume [z, y, x]
+R = 16
+WIN_MARGIN = 8
+
+
+def build_inputs(n):
+    import jax
+    import jax.numpy as jnp
+
+    dz, dy, dx = DIMS
+    sw = 2 * (R + WIN_MARGIN) + 1
+    side = 2 * R + 1
+    s = side ** 3
+
+    key = jax.random.PRNGKey(0)
+    kv, kw = jax.random.split(key)
+    coeff = jax.random.uniform(kv, DIMS, jnp.float32, 0.0, 255.0)
+
+    rng = np.random.default_rng(0)
+    cx = rng.uniform(R + WIN_MARGIN + 2, dx - R - WIN_MARGIN - 3, n)
+    cy = rng.uniform(R + WIN_MARGIN + 2, dy - R - WIN_MARGIN - 3, n)
+    cz = rng.uniform(R + WIN_MARGIN + 2, dz - R - WIN_MARGIN - 3, n)
+    cxd = jnp.asarray(cx, jnp.float32)
+    cyd = jnp.asarray(cy, jnp.float32)
+    czd = jnp.asarray(cz, jnp.float32)
+
+    loc = np.arange(-R, R + 1, dtype=np.float32)
+    zl, yl, xl = np.meshgrid(loc, loc, loc, indexing="ij")
+    xl = jnp.asarray(xl.reshape(-1))
+    yl = jnp.asarray(yl.reshape(-1))
+    zl = jnp.asarray(zl.reshape(-1))
+    jit_x = jax.random.uniform(kw, (n, s), jnp.float32, -0.49, 0.49)
+    gxc = cxd[:, None] + xl[None, :] + jit_x
+    gyc = cyd[:, None] + yl[None, :] + jit_x * 0.7
+    gzc = czd[:, None] + zl[None, :] - jit_x * 0.3
+
+    wcx = jnp.floor(cxd).astype(jnp.int32) - (R + WIN_MARGIN)
+    wcy = jnp.floor(cyd).astype(jnp.int32) - (R + WIN_MARGIN)
+    wcz = jnp.floor(czd).astype(jnp.int32) - (R + WIN_MARGIN)
+    lx = gxc - wcx[:, None].astype(jnp.float32)
+    ly = gyc - wcy[:, None].astype(jnp.float32)
+    lz = gzc - wcz[:, None].astype(jnp.float32)
+    no_oob = jnp.zeros((n, s), bool)
+    return dict(coeff=coeff, gxc=gxc, gyc=gyc, gzc=gzc, wcx=wcx, wcy=wcy,
+                wcz=wcz, lx=lx, ly=ly, lz=lz, no_oob=no_oob, sw=sw, s=s, n=n)
+
+
+def run_candidate(cand, k, n):
+    import jax
+    import jax.numpy as jnp
+
+    from opencorr_tpu.ops import bspline
+    from opencorr_tpu.utils.precision import highest_precision
+
+    env = build_inputs(n)
+    sw, s = env["sw"], env["s"]
+    ti = sw - 3
+
+    def gather_windows(coeff, wcx, wcy, wcz):
+        def one(z0, y0, x0):
+            return jax.lax.dynamic_slice(coeff, (z0, y0, x0), (sw, sw, sw))
+        return jax.vmap(one)(wcz, wcy, wcx)
+
+    def build_tiles(cwin):
+        tiles = []
+        for tz in range(4):
+            for ty in range(4):
+                for tx in range(4):
+                    tiles.append(jax.lax.slice(
+                        cwin, (0, tz, ty, tx), (n, tz + ti, ty + ti, tx + ti)))
+        return jnp.stack(tiles, axis=-1).reshape(n, ti * ti * ti, 64)
+
+    # Device buffers ride as traced ARGUMENTS — a jit closure that captures
+    # a concrete device array embeds it as a program constant via a host
+    # readback (CLAUDE.md; base._assert_capture_free).
+    if cand == "A":
+        @jax.jit
+        @highest_precision
+        def step(bias, coeff, gxc, gyc, gzc):
+            v, _ = bspline.tricubic_eval(coeff, gxc + bias, gyc, gzc)
+            return jnp.sum(v) * 1e-22  # non-foldable: keeps the chain live
+
+        bufs = (env["coeff"], env["gxc"], env["gyc"], env["gzc"])
+
+    elif cand == "B":
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+
+        @jax.jit
+        @highest_precision
+        def step(bias, cwin, lx, ly, lz, no_oob):
+            v, _ = bspline.tricubic_eval_windowed(
+                cwin, lx + bias, ly, lz, no_oob)
+            return jnp.sum(v) * 1e-22  # non-foldable: keeps the chain live
+
+        bufs = (cwin, env["lx"], env["ly"], env["lz"], env["no_oob"])
+
+    elif cand == "C":
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        w64 = jax.jit(build_tiles)(cwin)
+
+        @jax.jit
+        @highest_precision
+        def step(bias, w64, lx, ly, lz, no_oob):
+            lx = lx + bias
+            xq = jnp.clip(lx, 1.0, sw - 2.001)
+            yq = jnp.clip(ly, 1.0, sw - 2.001)
+            zq = jnp.clip(lz, 1.0, sw - 2.001)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            bx = bspline._basis(xq - xi.astype(jnp.float32))
+            by = bspline._basis(yq - yi.astype(jnp.float32))
+            bz = bspline._basis(zq - zi.astype(jnp.float32))
+            lin = ((zi - 1) * ti + (yi - 1)) * ti + (xi - 1)
+            nb = jnp.take_along_axis(w64, lin[:, :, None], axis=1)
+            w = (bz[..., :, None, None] * by[..., None, :, None]
+                 * bx[..., None, None, :]).reshape(n, s, 64)
+            val = jnp.sum(nb * w, axis=-1)
+            val = jnp.where(no_oob, jnp.float32(-1.0), val)
+            return jnp.sum(val) * 1e-22
+
+        bufs = (w64, env["lx"], env["ly"], env["lz"], env["no_oob"])
+
+    elif cand == "W":
+        @jax.jit
+        def step(bias, coeff, wcx, wcy, wcz):
+            cw = gather_windows(coeff, wcx + bias, wcy, wcz)
+            return (jnp.sum(cw[:, 0, 0, 0]).astype(jnp.int32)) % 2  # {0,1}: jitters the corner one voxel, keeps the chain live
+
+        bufs = (env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+
+    elif cand == "T":
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+
+        @jax.jit
+        def step(bias, cwin):
+            w64 = build_tiles(cwin + bias.astype(jnp.float32))
+            return (jnp.sum(w64[:, 0, 0]).astype(jnp.int32)) % 2
+
+        bufs = (cwin,)
+    else:
+        raise SystemExit(f"unknown candidate {cand}")
+
+    bias0 = jnp.zeros((), jnp.int32 if cand in "WT" else jnp.float32)
+    b = step(bias0, *bufs)  # compile + first (enqueue-only) execution
+    jax.block_until_ready(b)
+    t0 = time.time()
+    for _ in range(k):
+        b = step(b, *bufs)
+    forced = float(np.asarray(b))  # single readback: waits for the chain
+    elapsed = time.time() - t0
+    print(json.dumps({"cand": cand, "k": k, "n": n,
+                      "elapsed": round(elapsed, 3), "forced": forced}),
+          flush=True)
+
+
+def orchestrate(n):
+    results = {}
+    for cand in ("A", "B", "C", "W", "T"):
+        per = {}
+        for k in (2, 10):
+            for attempt in range(3):
+                try:
+                    out = subprocess.run(
+                        [sys.executable, "-u", __file__, "run", cand, str(k),
+                         str(n)],
+                        capture_output=True, text=True, timeout=900)
+                    line = [l for l in out.stdout.splitlines()
+                            if l.startswith("{")]
+                    if line:
+                        per[k] = json.loads(line[-1])["elapsed"]
+                        break
+                except subprocess.TimeoutExpired:
+                    pass
+                print(json.dumps({"cand": cand, "k": k,
+                                  "retry": attempt + 1}), flush=True)
+        if 2 in per and 10 in per:
+            slope = (per[10] - per[2]) / 8.0
+            results[cand] = slope
+            s = (2 * R + 1) ** 3
+            print(json.dumps({
+                "cand": cand, "t_k2": per[2], "t_k10": per[10],
+                "per_run_s": round(slope, 4),
+                "msamples_per_s": round(n * s / max(slope, 1e-9) / 1e6, 2)
+                if cand in "ABC" else None}), flush=True)
+    if "A" in results and "C" in results:
+        print(json.dumps({
+            "stage": "summary", "n_poi": n,
+            "speedup_B_vs_A": round(results["A"] / results["B"], 1)
+            if "B" in results else None,
+            "speedup_C_vs_A": round(results["A"] / results["C"], 1),
+            "speedup_C_vs_B": round(results["B"] / results["C"], 1)
+            if "B" in results else None,
+            "setup_window_s": round(results.get("W", float("nan")), 4),
+            "setup_tiles_s": round(results.get("T", float("nan")), 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "run":
+        run_candidate(sys.argv[2], int(sys.argv[3]),
+                      int(sys.argv[4]) if len(sys.argv) > 4 else 64)
+    else:
+        orchestrate(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
