@@ -31,12 +31,14 @@ def _icgn2d_adaptive_full(gx, gy, ref_img, tar_lut, t, conv, max_iter,
     return t.replace(p=p_out, r=r)
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry", "rz"))
+@functools.partial(jax.jit,
+                   static_argnames=("rx", "ry", "rz", "window_margin"))
 def _icgn3d1_full(gx, gy, gz, ref_vol, coeff, t, conv, max_iter,
-                  *, rx, ry, rz):
+                  *, rx, ry, rz, window_margin=None):
     p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
         gx, gy, gz, ref_vol, coeff, t.x, t.y, t.z, t.p,
-        t.r[:, poi_mod.R3_ZNCC], conv, max_iter, rx=rx, ry=ry, rz=rz)
+        t.r[:, poi_mod.R3_ZNCC], conv, max_iter, rx=rx, ry=ry, rz=rz,
+        window_margin=window_margin)
     r = t.r
     r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
     r = r.at[:, poi_mod.R3_U0].set(
@@ -194,13 +196,24 @@ class ICGN3D1(base.Module3D):
     def __init__(self, subset_radius_x: int, subset_radius_y: int,
                  subset_radius_z: int, conv_criterion: float = 0.001,
                  stop_condition: float = 10,
-                 chunk_size: Optional[int] = None):
-        """``chunk_size=None`` sizes POI chunks from a poi*voxel budget so the
-        per-chunk working set stays bounded for any subset radius."""
+                 chunk_size: Optional[int] = None,
+                 window_margin: Optional[int] = 8):
+        """``chunk_size=None`` sizes POI chunks from a memory budget so the
+        per-chunk working set stays bounded for any subset radius.
+
+        ``window_margin`` (default 8) selects the windowed-coefficient
+        kernel: target samples interpolate through per-POI coefficient
+        windows of half-extent r+margin, expanded once per chunk into
+        contiguous tile LUTs (ops/icgn.icgn3d1 ``window_margin``) — the
+        CT-scale fix for the global-volume gather (PERF.md).  ``None``
+        selects the global-volume path (bit-compatible semantics except
+        that windowed fails diverging POIs with -3 once they wander
+        > margin-2 voxels past their seed)."""
         super().__init__(subset_radius_x, subset_radius_y, subset_radius_z)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
         self.chunk_size = chunk_size
+        self.window_margin = window_margin
         self._gx = None
         self._gy = None
         self._gz = None
@@ -229,12 +242,23 @@ class ICGN3D1(base.Module3D):
             raise RuntimeError("call prepare() before compute()")
         rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
                       self.subset_radius_z)
+        margin = self.window_margin
         chunk = self.chunk_size
         if chunk is None:
-            # poi*voxel working-set budget: ~9M keeps the compile within HBM
-            # for any radius while amortizing dispatch overhead
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
-            chunk = max(8, 9_000_000 // s)
+            if margin is not None:
+                # tile-LUT budget: each POI's window LUT is
+                # (2(r+margin)-2)^3 * 256 bytes; ~2 GB of LUT per chunk
+                # (HBM also holds the 5 volumes), additionally capped by the
+                # 9M poi*voxel compile budget below
+                per_poi = ((2 * (rx + margin) - 2) * (2 * (ry + margin) - 2)
+                           * (2 * (rz + margin) - 2)) * 256
+                chunk = max(8, min(2_000_000_000 // per_poi,
+                                   9_000_000 // s))
+            else:
+                # poi*voxel working-set budget: ~9M keeps the compile within
+                # HBM for any radius while amortizing dispatch overhead
+                chunk = max(8, 9_000_000 // s)
         consts = (self._gx, self._gy, self._gz, self.ref_vol,
                   self._coeff) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
@@ -244,6 +268,6 @@ class ICGN3D1(base.Module3D):
         def run(t, gx, gy, gz, ref_vol, coeff, conv, max_iter):
             return _icgn3d1_full(gx, gy, gz, ref_vol,
                                  coeff, t, conv, max_iter,
-                                 rx=rx, ry=ry, rz=rz)
+                                 rx=rx, ry=ry, rz=rz, window_margin=margin)
 
         return base.chunked(run, table, chunk, consts=consts)

@@ -266,6 +266,96 @@ def tricubic_eval_windowed(cwin: jnp.ndarray, lx: jnp.ndarray,
     return jnp.where(oob, jnp.float32(-1.0), val), oob
 
 
+def tricubic_window_tiles(cwin: jnp.ndarray) -> jnp.ndarray:
+    """Expand per-POI coefficient windows into contiguous 64-wide tile LUTs.
+
+    ``cwin``: [N, swz, swy, swx] -> [N, (swz-3)*(swy-3)*(swx-3), 64] where
+    row ``((z-1)*(swy-3) + (y-1))*(swx-3) + (x-1)`` holds the flattened
+    4x4x4 neighborhood of base voxel (z, y, x), z/y/x in [1, sw-3].
+
+    This is the 3D analog of the 2D engine's per-pixel [H, W, 4, 4] tile LUT
+    (oc_cubic_bspline.cpp:84-132 structure): each tricubic query then gathers
+    ONE contiguous 256-byte row instead of 64 scattered taps — 64x fewer
+    gather indices at 64x window memory, which is only affordable per-window
+    (globally it would be 64x the volume).  Built once per ICGN chunk and
+    amortized over all Gauss-Newton iterations.
+    """
+    n, swz, swy, swx = cwin.shape
+    tz_n, ty_n, tx_n = swz - 3, swy - 3, swx - 3
+    tiles = []
+    for tz in range(4):
+        for ty in range(4):
+            for tx in range(4):
+                tiles.append(jax.lax.slice(
+                    cwin, (0, tz, ty, tx),
+                    (n, tz + tz_n, ty + ty_n, tx + tx_n)))
+    return jnp.stack(tiles, axis=-1).reshape(n, tz_n * ty_n * tx_n, 64)
+
+
+@highest_precision
+def tricubic_eval_tiled(w64: jnp.ndarray, sw: tuple, lx: jnp.ndarray,
+                        ly: jnp.ndarray, lz: jnp.ndarray,
+                        oob: jnp.ndarray):
+    """Tricubic eval against per-POI tile LUTs (``tricubic_window_tiles``).
+
+    ``sw``: (swz, swy, swx) original window dims; ``lx/ly/lz``: [N, S]
+    window-LOCAL sample coords, pre-sanitized by the caller (finite, any
+    value); ``oob``: [N, S] combined out-of-range mask computed BY THE
+    CALLER — from the global-volume range guard plus the integer-domain
+    window-exit test (see icgn.py) — masked samples return the reference's
+    -1 sentinel (oc_cubic_bspline.cpp:353-360).
+
+    The mask is deliberately an input: round 3's windowed wiring computed a
+    float range mask on localized coordinates inside the fused GN program
+    and hit a reproducible sandbox-TPU miscompile (mask read all-true;
+    commit 7e9e2e9).  Here all float comparisons happen on global
+    coordinates in the caller (the exact expressions the global path has
+    always run on TPU) and the only local-domain test is on int32 floors.
+
+    Because window corners are integers, ``lx - floor(lx)`` is bit-identical
+    to the global path's ``x - floor(x)`` (exact f32 subtraction of an
+    integer below 2^23), so values match the global eval exactly.
+    """
+    swz, swy, swx = sw
+    n, s = lx.shape
+    tz_n, ty_n, tx_n = swz - 3, swy - 3, swx - 3
+    xq = jnp.clip(lx, 1.0, swx - 2.001)
+    yq = jnp.clip(ly, 1.0, swy - 2.001)
+    zq = jnp.clip(lz, 1.0, swz - 2.001)
+    xi = jnp.floor(xq).astype(jnp.int32)
+    yi = jnp.floor(yq).astype(jnp.int32)
+    zi = jnp.floor(zq).astype(jnp.int32)
+    bx = _basis(xq - xi.astype(jnp.float32))
+    by = _basis(yq - yi.astype(jnp.float32))
+    bz = _basis(zq - zi.astype(jnp.float32))
+
+    def eval_block(xi_c, yi_c, zi_c, bx_c, by_c, bz_c):
+        blk = xi_c.shape[1]
+        lin = ((zi_c - 1) * ty_n + (yi_c - 1)) * tx_n + (xi_c - 1)
+        nb = jnp.take_along_axis(w64, lin[:, :, None], axis=1)  # [N,blk,64]
+        wgt = (bz_c[..., :, None, None] * by_c[..., None, :, None]
+               * bx_c[..., None, None, :]).reshape(n, blk, 64)
+        return jnp.sum(nb * wgt, axis=-1)
+
+    # Slab the sample axis: the [N, s_slab, 64] gather output is materialized
+    # (~2x lane padding), keep it ~256 MB (round-3 OOM lesson).
+    slab = max(256, (1 << 26) // 64 // max(n, 1))
+    if s > 2 * slab:
+        pad = -s % slab
+        nsl = (s + pad) // slab
+
+        def sl(a):
+            a = jnp.pad(a, ((0, 0), (0, pad)) + ((0, 0),) * (a.ndim - 2))
+            return jnp.moveaxis(a.reshape((n, nsl, slab) + a.shape[2:]), 1, 0)
+
+        vals = jax.lax.map(lambda t: eval_block(*t),
+                           (sl(xi), sl(yi), sl(zi), sl(bx), sl(by), sl(bz)))
+        val = jnp.moveaxis(vals, 0, 1).reshape(n, -1)[:, :s]
+    else:
+        val = eval_block(xi, yi, zi, bx, by, bz)
+    return jnp.where(oob, jnp.float32(-1.0), val)
+
+
 def _tricubic_eval_impl(coeff, xs, ys, zs):
     dz, dy, dx = coeff.shape
     oob = (

@@ -464,7 +464,8 @@ def gather_subsets_3d(vol, x0, y0, z0, rx, ry, rz):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry", "rz"))
+@functools.partial(jax.jit,
+                   static_argnames=("rx", "ry", "rz", "window_margin"))
 @highest_precision
 def icgn3d1(
     gx: jnp.ndarray,
@@ -483,6 +484,7 @@ def icgn3d1(
     rx: int,
     ry: int,
     rz: int,
+    window_margin: Optional[int] = None,
     z_guard_lo=None,
     z_guard_hi=None,
 ):
@@ -492,7 +494,23 @@ def icgn3d1(
     ``z_guard_lo``/``z_guard_hi`` optionally tighten the interpolation range
     guard along z (used by the sharded DVC path to impose the *global* volume
     boundary on a halo-extended block): a warped voxel with z < lo or
-    z >= hi fails the subset with -3 like any out-of-range warp."""
+    z >= hi fails the subset with -3 like any out-of-range warp.
+
+    ``window_margin``: None evaluates target samples through the GLOBAL
+    coefficient volume (a 64-scattered-tap gather per sample — at CT scale
+    the big-operand gather is the whole runtime, PERF.md "DVC at CT scale").
+    An int M switches to per-POI coefficient WINDOWS of half-extent r+M per
+    axis, centered on the warped subset center (POI + integer initial
+    displacement), gathered once per chunk with contiguous dynamic slices
+    and expanded into contiguous 64-wide tile LUTs
+    (bspline.tricubic_window_tiles) — one contiguous gather row per sample.
+    Values are bit-identical to the global path for every sample inside its
+    window (integer corners keep the fractional parts exact).  A sample
+    LEAVING its window reads as out-of-range (-3 subset failure): with the
+    default margin M=8 that only happens when Gauss-Newton has wandered
+    > M-2 voxels past the seeded position, i.e. the subset is diverging —
+    such POIs fail with -3 instead of the global path's "keep iterating
+    toward -4/garbage" (semantic note argued in CLAUDE.md round-3 lead)."""
     dz, dy, dx = ref_vol.shape
     n = xs.shape[0]
     sx, sy, sz = 2 * rx + 1, 2 * ry + 1, 2 * rz + 1
@@ -534,14 +552,6 @@ def icgn3d1(
     gys = gather_subsets_3d(gy, x0, y0, z0, rx, ry, rz).reshape(n, s)
     gzs = gather_subsets_3d(gz, x0, y0, z0, rx, ry, rz).reshape(n, s)
 
-    # NOTE (round-3 finding): interpolating through per-POI coefficient
-    # WINDOWS instead of the global volume is 17.6x faster on TPU
-    # (bspline.tricubic_eval_windowed, standalone-verified bit-exact), but
-    # wiring it here produced a reproducible TPU miscompile — the eval's
-    # range mask reads all-true for in-range coordinates when composed with
-    # the window gather in one program, on this sandbox's compiler stack
-    # (CPU exact, every isolated TPU composition exact).  The global-LUT
-    # path below is correct everywhere; revisit on real hardware.
     # sd channel order matches the 3D p layout (oc_icgn.cpp:1314-1325).
     sd = jnp.stack(
         [
@@ -555,6 +565,60 @@ def icgn3d1(
     hinv = linalg_ops.inv_small(hess)
 
     wmat0 = warp_ops.warp3d1_from_p(p_in)
+
+    if window_margin is not None:
+        # Per-POI coefficient windows, gathered ONCE per chunk (amortized
+        # over all GN iterations) and expanded to contiguous tile LUTs.
+        mx, my, mz = rx + window_margin, ry + window_margin, rz + window_margin
+        swx, swy, swz = 2 * mx + 1, 2 * my + 1, 2 * mz + 1
+        wcx = jnp.clip(jnp.floor(xs + u_in).astype(jnp.int32) - mx,
+                       0, dx - swx)
+        wcy = jnp.clip(jnp.floor(ys + v_in).astype(jnp.int32) - my,
+                       0, dy - swy)
+        wcz = jnp.clip(jnp.floor(zs + w_in).astype(jnp.int32) - mz,
+                       0, dz - swz)
+
+        def _win(z0, y0, x0):
+            return jax.lax.dynamic_slice(
+                tar_coeff, (z0, y0, x0), (swz, swy, swx))
+
+        cwin = jax.vmap(_win)(wcz, wcy, wcx)
+        w64 = bspline.tricubic_window_tiles(cwin)
+        wcxf = wcx.astype(f32)[:, None]
+        wcyf = wcy.astype(f32)[:, None]
+        wczf = wcz.astype(f32)[:, None]
+
+        def eval_tar(gxc, gyc, gzc):
+            # Global range guard: the EXACT float comparisons the global
+            # path runs (bspline._tricubic_eval_impl) — round 3's windowed
+            # wiring computed this mask on localized floats inside the
+            # fused GN program and hit a sandbox-TPU miscompile (7e9e2e9);
+            # all local-domain tests below are int32-only.
+            oob_g = (
+                (gxc < 1) | (gyc < 1) | (gzc < 1)
+                | (gxc >= dx - 2) | (gyc >= dy - 2) | (gzc >= dz - 2)
+                | jnp.isnan(gxc) | jnp.isnan(gyc) | jnp.isnan(gzc)
+            )
+            # Localize; sanitize masked samples so floor/int stay defined.
+            lx = jnp.where(oob_g, f32(2.0), gxc - wcxf)
+            ly = jnp.where(oob_g, f32(2.0), gyc - wcyf)
+            lz = jnp.where(oob_g, f32(2.0), gzc - wczf)
+            # Integer-domain window-exit test (bounded before the cast).
+            exf = jnp.floor(jnp.clip(lx, -9.0, swx + 9.0)).astype(jnp.int32)
+            eyf = jnp.floor(jnp.clip(ly, -9.0, swy + 9.0)).astype(jnp.int32)
+            ezf = jnp.floor(jnp.clip(lz, -9.0, swz + 9.0)).astype(jnp.int32)
+            oob = (
+                oob_g
+                | (exf < 1) | (exf > swx - 3)
+                | (eyf < 1) | (eyf > swy - 3)
+                | (ezf < 1) | (ezf > swz - 3)
+            )
+            return bspline.tricubic_eval_tiled(
+                w64, (swz, swy, swx), lx, ly, lz, oob)
+    else:
+        def eval_tar(gxc, gyc, gzc):
+            tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)
+            return tval
 
     def body(state):
         wmat, active, it, dpn, znssd, oob_fail = state
@@ -574,7 +638,7 @@ def icgn3d1(
         gxc = xs[:, None] + wx
         gyc = ys[:, None] + wy
         gzc = zs[:, None] + wz
-        tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)
+        tval = eval_tar(gxc, gyc, gzc)
         fail_any = jnp.any(tval < 0.0, axis=1)
         if z_guard_lo is not None:
             fail_any = fail_any | jnp.any(

@@ -213,3 +213,96 @@ def test_tricubic_eval_windowed_matches_global():
     assert np.allclose(a[both], b[both], atol=1e-3)
     # windowed never reports in-range where global says out-of-range
     assert not np.any(np.asarray(o_g & ~o_w))
+
+
+def test_tricubic_eval_tiled_matches_global():
+    """The per-window contiguous tile-LUT eval (bspline.tricubic_window_tiles
+    + tricubic_eval_tiled) must match the whole-volume eval bit-exactly for
+    in-window samples (integer window corners keep fractional parts exact),
+    including the slab lax.map path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from opencorr_tpu.ops import bspline
+    from opencorr_tpu.ops.icgn import gather_subsets_3d
+
+    rng = np.random.default_rng(4)
+    vol = rng.random((40, 44, 48)).astype(np.float32) * 100
+    coeff = bspline.tricubic_prepare(jnp.asarray(vol))
+    dz, dy, dx = coeff.shape
+    n, s = 16, 2048
+    r, mgn = 8, 8
+    sw = 2 * (r + mgn) + 1
+    cx = rng.uniform(18, 30, n).astype(np.float32)
+    cy = rng.uniform(18, 26, n).astype(np.float32)
+    cz = rng.uniform(18, 22, n).astype(np.float32)
+    gx = jnp.asarray(cx[:, None] + rng.uniform(-9, 9, (n, s)).astype(np.float32))
+    gy = jnp.asarray(cy[:, None] + rng.uniform(-9, 9, (n, s)).astype(np.float32))
+    gz = jnp.asarray(cz[:, None] + rng.uniform(-9, 9, (n, s)).astype(np.float32))
+    x0 = np.clip(np.floor(cx).astype(np.int32) - r - mgn, 0, dx - sw)
+    y0 = np.clip(np.floor(cy).astype(np.int32) - r - mgn, 0, dy - sw)
+    z0 = np.clip(np.floor(cz).astype(np.int32) - r - mgn, 0, dz - sw)
+    cwin = gather_subsets_3d(coeff, jnp.asarray(x0), jnp.asarray(y0),
+                             jnp.asarray(z0), r + mgn, r + mgn, r + mgn)
+    w64 = bspline.tricubic_window_tiles(cwin)
+    lx = gx - jnp.asarray(x0.astype(np.float32))[:, None]
+    ly = gy - jnp.asarray(y0.astype(np.float32))[:, None]
+    lz = gz - jnp.asarray(z0.astype(np.float32))[:, None]
+    # caller-side mask: global guard + int-domain window-exit (as in icgn3d1)
+    oobg = ((gx < 1) | (gy < 1) | (gz < 1)
+            | (gx >= dx - 2) | (gy >= dy - 2) | (gz >= dz - 2))
+    ex = jnp.floor(jnp.clip(lx, -9.0, sw + 9.0)).astype(jnp.int32)
+    ey = jnp.floor(jnp.clip(ly, -9.0, sw + 9.0)).astype(jnp.int32)
+    ez = jnp.floor(jnp.clip(lz, -9.0, sw + 9.0)).astype(jnp.int32)
+    oob = (oobg | (ex < 1) | (ex > sw - 3) | (ey < 1) | (ey > sw - 3)
+           | (ez < 1) | (ez > sw - 3))
+    v_t = bspline.tricubic_eval_tiled(w64, (sw, sw, sw), lx, ly, lz, oob)
+    v_g, o_g = bspline.tricubic_eval(coeff, gx, gy, gz)
+    a, b = np.asarray(v_g), np.asarray(v_t)
+    both = np.asarray(~o_g) & ~np.asarray(oob)
+    assert both.mean() > 0.9
+    assert np.array_equal(a[both], b[both])  # bit-exact
+    # tiled never reports a value where global says out-of-range
+    assert not np.any(np.asarray(o_g) & ~np.asarray(oob))
+
+    # slab path: repeat samples past the slab threshold
+    reps = (2 * (1 << 26) // 64 // n) // s + 2
+    lxs = jnp.tile(lx, (1, reps))
+    lys = jnp.tile(ly, (1, reps))
+    lzs = jnp.tile(lz, (1, reps))
+    oobs = jnp.tile(oob, (1, reps))
+    v_s = bspline.tricubic_eval_tiled(w64, (sw, sw, sw), lxs, lys, lzs, oobs)
+    assert np.array_equal(np.asarray(v_s)[:, :s][both], a[both])
+
+
+def test_icgn3d1_windowed_matches_global():
+    """The windowed-coefficient GN kernel must reproduce the global-volume
+    kernel's results for converging POIs (ops/icgn.icgn3d1 window_margin)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import opencorr_tpu as oc
+
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    rng = np.random.default_rng(11)
+    dims = (40, 36, 44)
+    ref = gaussian_filter(rng.standard_normal(dims), 1.4) * 50 + 128
+    zz, yy, xx = np.meshgrid(*[np.arange(d, dtype=np.float64) for d in dims],
+                             indexing="ij")
+    tar = map_coordinates(ref, [zz - 0.4, yy + 0.25, xx - 0.6], order=3,
+                          mode="nearest")
+    pois = oc.poi_grid_3d((14, 14, 14), 3, 2, 3, 6)
+
+    outs = {}
+    for margin in (None, 8):
+        ic = oc.ICGN3D1(8, 8, 8, 0.001, 10, window_margin=margin)
+        ic.set_images(ref.astype(np.float32), tar.astype(np.float32))
+        ic.prepare()
+        f = oc.FFTCC3D(8, 8, 8)
+        f.set_images(ref.astype(np.float32), tar.astype(np.float32))
+        outs[margin] = ic.compute(f.compute(pois))
+    za = np.asarray(outs[None].zncc)
+    zb = np.asarray(outs[8].zncc)
+    assert (za > 0).all() and (zb > 0).all()
+    np.testing.assert_array_equal(np.asarray(outs[None].p),
+                                  np.asarray(outs[8].p))
+    np.testing.assert_array_equal(za, zb)
