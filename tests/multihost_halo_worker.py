@@ -1,0 +1,126 @@
+"""Worker for the 2-process DVC halo test (run by test_multihost.py):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+    python tests/multihost_halo_worker.py <coordinator> <num_procs> <pid>
+
+The genuinely novel collective code in this package is the z-block halo
+exchange (parallel/halo.py ``halo_exchange_z`` + ``_sharded_icgn3d``); the
+single-process tests (tests/test_halo.py) cover it on an 8-device mesh, but
+a ``ppermute`` crossing an OS-process boundary exercises the real
+multi-controller path (VERDICT round-3 item 6).  Each of 2 processes owns 4
+virtual CPU devices; the volume is z-sharded over the global 8-device mesh
+(so the edge halo slabs of each process's boundary blocks come FROM THE
+OTHER PROCESS), the full sharded GN program runs as one SPMD computation,
+and each process checks the shards it owns against the single-device
+global-path result it computes locally.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coord, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    jax.distributed.initialize(coord, num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from scipy.ndimage import gaussian_filter
+
+    import opencorr_tpu as oc
+    from opencorr_tpu.data import poi as poi_mod
+    from opencorr_tpu.ops import bspline, gradient
+    from opencorr_tpu.ops import icgn as icgn_ops
+    from opencorr_tpu.parallel import halo as halo_mod
+
+    # Identical volume pair on every process.
+    rng = np.random.default_rng(5)
+    dz, dy, dx = 96, 40, 44
+    ref = (gaussian_filter(
+        rng.standard_normal((dz, dy, dx)).astype(np.float32), 1.5) * 60 + 128)
+    tar = np.roll(ref, (1, 2, 1), axis=(0, 1, 2))  # w=+1, v=+2, u=+1
+
+    r = 3
+    xs = np.round(np.linspace(14, dx - 15, 3))
+    ys = np.round(np.linspace(14, dy - 15, 3))
+    zs = np.round(np.linspace(14, dz - 15, 6))
+    gz, gy_, gx_ = np.meshgrid(zs, ys, xs, indexing="ij")
+    t = oc.new_table_3d(gx_.ravel().astype(np.float32),
+                        gy_.ravel().astype(np.float32),
+                        gz.ravel().astype(np.float32))
+    p0 = np.zeros((t.n, 12), np.float32)
+    p0[:, 0], p0[:, 4], p0[:, 8] = 1.0, 2.0, 1.0  # integer seeds
+    t = t.replace(p=jnp.asarray(p0))
+
+    # Single-device global-path expectation (computed locally per process).
+    refd = jnp.asarray(ref)
+    exp = icgn_ops.icgn3d1(
+        gradient.gradient_x_3d(refd), gradient.gradient_y_3d(refd),
+        gradient.gradient_z_3d(refd), refd,
+        bspline.tricubic_prepare(jnp.asarray(tar)),
+        t.x, t.y, t.z, t.p, t.r[:, poi_mod.R3_ZNCC],
+        jnp.float32(0.001), jnp.float32(10.0), rx=r, ry=r, rz=r)
+    exp_p = np.asarray(exp[0])
+    exp_zncc = np.asarray(exp[4])
+    assert (exp_zncc > 0.99).all(), exp_zncc
+
+    # Distributed: z-sharded volume over the global 2-process mesh.
+    halo = r + 2 + 7
+    bz = dz // n_dev
+    assert bz >= halo
+    idx, valid, owner, _ = halo_mod.partition_pois_z(t, n_dev, dz)
+    mesh = Mesh(np.array(jax.devices()), ("z",))
+    vol_sh = NamedSharding(mesh, P("z"))
+    poi_sh = NamedSharding(mesh, P("z"))
+
+    zlo, zhi = pid * (dz // nprocs), (pid + 1) * (dz // nprocs)
+    blo, bhi = pid * (n_dev // nprocs), (pid + 1) * (n_dev // nprocs)
+    mk_vol = lambda a: jax.make_array_from_process_local_data(
+        vol_sh, a[zlo:zhi])
+    mk_poi = lambda a: jax.make_array_from_process_local_data(
+        poi_sh, np.asarray(a)[idx][blo:bhi])
+
+    outs = halo_mod._sharded_icgn3d(
+        mk_vol(ref), mk_vol(tar),
+        mk_poi(t.x), mk_poi(t.y), mk_poi(t.z), mk_poi(t.p),
+        mk_poi(t.r[:, poi_mod.R3_ZNCC]),
+        jax.make_array_from_process_local_data(poi_sh, valid[blo:bhi]),
+        jnp.float32(0.001), jnp.float32(10.0),
+        rx=r, ry=r, rz=r, halo=halo, mesh_axis="z", mesh=mesh)
+    p_out, u0, v0, w0, zncc, it = outs
+
+    # Each process validates the block rows it owns.
+    def local(a, width=None):
+        shards = sorted(a.addressable_shards, key=lambda s: s.index[0].start)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    zncc_l = local(zncc)
+    p_l = local(p_out)
+    n_checked = 0
+    for row, b in enumerate(range(blo, bhi)):
+        sel = valid[b]
+        tgt = idx[b][sel]
+        if not sel.any():
+            continue
+        zs_b = zncc_l[row][sel]
+        assert (zs_b > 0.99).all(), (pid, b, zs_b)
+        # block-local prefilter differs from global only by tap decay
+        d = np.abs(p_l[row][sel][:, [0, 4, 8]] - exp_p[tgt][:, [0, 4, 8]])
+        assert d.max() < 1e-3, (pid, b, d.max())
+        dz_ = np.abs(zs_b - exp_zncc[tgt])
+        assert dz_.max() < 1e-3, (pid, b, dz_.max())
+        n_checked += int(sel.sum())
+    assert n_checked > 0
+    print(f"MULTIHOST_HALO_OK pid={pid} n_checked={n_checked}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,9 +19,9 @@ def _free_port():
     return port
 
 
-def test_two_process_distributed_icgn():
+def _run_two_process(worker_name: str, ok_marker: str):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    worker = os.path.join(root, "tests", "multihost_worker.py")
+    worker = os.path.join(root, "tests", worker_name)
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -45,4 +45,14 @@ def test_two_process_distributed_icgn():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
-        assert f"MULTIHOST_OK pid={pid}" in out, out
+        assert f"{ok_marker} pid={pid}" in out, out
+
+
+def test_two_process_distributed_icgn():
+    _run_two_process("multihost_worker.py", "MULTIHOST_OK")
+
+
+def test_two_process_dvc_halo():
+    """ShardedICGN3D1's z-block halo exchange with the ppermute crossing a
+    process boundary (VERDICT round-3 item 6): sharded == single-device."""
+    _run_two_process("multihost_halo_worker.py", "MULTIHOST_HALO_OK")
