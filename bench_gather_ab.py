@@ -152,6 +152,100 @@ def run_candidate(cand, k, n):
 
         bufs = (w64, env["lx"], env["ly"], env["lz"], env["no_oob"])
 
+    elif cand == "CF":
+        # C with a flattened 2D gather ([N*L, 64] operand, global row idx)
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        w64f = jax.jit(lambda cw: build_tiles(cw).reshape(n * ti * ti * ti,
+                                                          64))(cwin)
+
+        @jax.jit
+        @highest_precision
+        def step(bias, w64f, lx, ly, lz, no_oob):
+            lx = lx + bias
+            xq = jnp.clip(lx, 1.0, sw - 2.001)
+            yq = jnp.clip(ly, 1.0, sw - 2.001)
+            zq = jnp.clip(lz, 1.0, sw - 2.001)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            bx = bspline._basis(xq - xi.astype(jnp.float32))
+            by = bspline._basis(yq - yi.astype(jnp.float32))
+            bz = bspline._basis(zq - zi.astype(jnp.float32))
+            lin = ((zi - 1) * ti + (yi - 1)) * ti + (xi - 1)
+            lin = lin + (jnp.arange(n, dtype=jnp.int32)
+                         * (ti * ti * ti))[:, None]
+            nb = w64f[lin.reshape(-1)].reshape(n, s, 64)
+            w = (bz[..., :, None, None] * by[..., None, :, None]
+                 * bx[..., None, None, :]).reshape(n, s, 64)
+            return jnp.sum(jnp.sum(nb * w, axis=-1)) * 1e-22
+
+        bufs = (w64f, env["lx"], env["ly"], env["lz"], env["no_oob"])
+
+    elif cand in ("R33", "R33b"):
+        # Row-block: ONE gather per subset x-row (33 samples) reading a
+        # [4+2B, 4+2B, sw] tube; x-tap selection becomes a banded one-hot
+        # matmul (MXU), y/z selection small weighted reduces.  B=2 covers
+        # within-row y/z drift for |strain| <= 2/R.
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        B = 2
+        side = 2 * R + 1
+        nrows = side * side
+
+        @jax.jit
+        @highest_precision
+        def step(bias, cwin, lx, ly, lz):
+            lx = (lx + bias).reshape(n, nrows, side)
+            lyr = ly.reshape(n, nrows, side)
+            lzr = lz.reshape(n, nrows, side)
+            xq = jnp.clip(lx, 1.0, sw - 2.001)
+            yq = jnp.clip(lyr, 1.0, sw - 2.001)
+            zq = jnp.clip(lzr, 1.0, sw - 2.001)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            bx = bspline._basis(xq - xi.astype(jnp.float32))  # [n,r,33,4]
+            by = bspline._basis(yq - yi.astype(jnp.float32))
+            bz = bspline._basis(zq - zi.astype(jnp.float32))
+            y0 = jnp.clip(jnp.min(yi, axis=2) - 1, 0, sw - 4 - 2 * B)
+            z0 = jnp.clip(jnp.min(zi, axis=2) - 1, 0, sw - 4 - 2 * B)
+
+            def blk_one(cw, z0r, y0r):
+                return jax.lax.dynamic_slice(
+                    cw, (z0r, y0r, 0), (4 + 2 * B, 4 + 2 * B, sw))
+
+            blk = jax.vmap(jax.vmap(blk_one, in_axes=(None, 0, 0)),
+                           in_axes=(0, 0, 0))(cwin, z0, y0)
+            # [n, rows, 4+2B, 4+2B, sw]
+            # x one-hot: wx[n, rows, sw, 33] = sum_t bx * ind(x == xi-1+t)
+            xiota = jnp.arange(sw, dtype=jnp.int32)
+            wx = jnp.zeros((n, nrows, sw, side), jnp.float32)
+            for t in range(4):
+                hit = (xiota[None, None, :, None]
+                       == (xi - 1 + t)[:, :, None, :])
+                wx = wx + jnp.where(hit, bx[..., t][:, :, None, :], 0.0)
+            zy = (4 + 2 * B) * (4 + 2 * B)
+            t1 = jnp.einsum(
+                "nrcx,nrxi->nrci",
+                blk.reshape(n, nrows, zy, sw), wx)  # [n,rows,zy,33]
+            t1 = t1.reshape(n, nrows, 4 + 2 * B, 4 + 2 * B, side)
+            # y/z selection: small one-hot weighted reduces
+            yio = jnp.arange(4 + 2 * B, dtype=jnp.int32)
+            ry = yi - y0[:, :, None]  # tap0 row = ry - 1
+            wy = jnp.zeros((n, nrows, 4 + 2 * B, side), jnp.float32)
+            for t in range(4):
+                hit = (yio[None, None, :, None] == (ry - 1 + t)[:, :, None, :])
+                wy = wy + jnp.where(hit, by[..., t][:, :, None, :], 0.0)
+            t2 = jnp.einsum("nrzyi,nryi->nrzi", t1, wy)
+            rz = zi - z0[:, :, None]
+            wz = jnp.zeros((n, nrows, 4 + 2 * B, side), jnp.float32)
+            for t in range(4):
+                hit = (yio[None, None, :, None] == (rz - 1 + t)[:, :, None, :])
+                wz = wz + jnp.where(hit, bz[..., t][:, :, None, :], 0.0)
+            val = jnp.einsum("nrzi,nrzi->nri", t2, wz)
+            return jnp.sum(val) * 1e-22
+
+        bufs = (cwin, env["lx"], env["ly"], env["lz"])
+
     elif cand == "W":
         @jax.jit
         def step(bias, coeff, wcx, wcy, wcz):
