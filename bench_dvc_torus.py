@@ -228,7 +228,8 @@ def stage_dic():
                           BASE['FeatureAffine'] / fa_steady, 1)}),
           flush=True)
 
-    icgn = oc.ICGN3D1(16, 16, 16, 0.001, 10)
+    icgn = oc.ICGN3D1(16, 16, 16, 0.001, 10,
+                      eval_mode=os.environ.get("DVC_EVAL_MODE", "lattice"))
     icgn.set_images(ref, tar)
     t0 = time.time()
     icgn.prepare()

@@ -246,6 +246,226 @@ def run_candidate(cand, k, n):
 
         bufs = (cwin, env["lx"], env["ly"], env["lz"])
 
+    elif cand == "L":
+        # Gather-free "shift-register" lattice eval: subset samples sit on a
+        # near-regular lattice, so each sample's 64 taps live within a
+        # bounded offset window (|delta| <= D wobble) of the nominal
+        # lattice; the eval becomes (4+2D)^3 STATIC shifted slices of a
+        # per-POI block, weighted by per-sample basis-placement vectors —
+        # pure elementwise VPU work, zero gathers.
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        D = 2
+        W8 = 4 + 2 * D
+        side = 2 * R + 1
+        ext = side + W8 - 1  # 40
+
+        @jax.jit
+        @highest_precision
+        def step(bias, cwin, lx, ly, lz):
+            lx = lx + bias
+            xq = jnp.clip(lx, 1.0, sw - 2.001).reshape(n, side, side, side)
+            yq = jnp.clip(ly, 1.0, sw - 2.001).reshape(n, side, side, side)
+            zq = jnp.clip(lz, 1.0, sw - 2.001).reshape(n, side, side, side)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            bx = bspline._basis(xq - xi.astype(jnp.float32))  # [n,33,33,33,4]
+            by = bspline._basis(yq - yi.astype(jnp.float32))
+            bz = bspline._basis(zq - zi.astype(jnp.float32))
+            # nominal lattice base from the center sample
+            c = side // 2
+            nx0 = xi[:, c, c, c] - c
+            ny0 = yi[:, c, c, c] - c
+            nz0 = zi[:, c, c, c] - c
+            iio = jnp.arange(side, dtype=jnp.int32)
+            dx = xi - (nx0[:, None, None, None] + iio[None, None, None, :])
+            dy = yi - (ny0[:, None, None, None] + iio[None, None, :, None])
+            dz = zi - (nz0[:, None, None, None] + iio[None, :, None, None])
+            # basis placement: bxp[..., t] = bx[..., t - D - dx]
+            def place(b, d):
+                # LEADING offset axis: a trailing dim of 8 would tile-pad
+                # 16x (8 -> 128 lanes)
+                slots = []
+                for t in range(W8):
+                    acc_t = jnp.zeros(b.shape[:-1], jnp.float32)
+                    for tap in range(4):
+                        acc_t = acc_t + jnp.where(d == t - tap - D,
+                                                  b[..., tap], 0.0)
+                    slots.append(acc_t)
+                return slots
+            bxp = place(bx, dx)
+            byp = place(by, dy)
+            bzp = place(bz, dz)
+            # extended block: eblk[n, k+oz, j+oy, i+ox]
+            #   = cwin[n, nz0-1-D + (k+oz), ...]
+            def eb(cw, z0, y0, x0):
+                return jax.lax.dynamic_slice(cw, (z0, y0, x0),
+                                             (ext, ext, ext))
+            eblk = jax.vmap(eb)(cwin,
+                                jnp.clip(nz0 - 1 - D, 0, sw - ext),
+                                jnp.clip(ny0 - 1 - D, 0, sw - ext),
+                                jnp.clip(nx0 - 1 - D, 0, sw - ext))
+            acc = jnp.zeros((n, side, side, side), jnp.float32)
+            for oz in range(W8):
+                for oy in range(W8):
+                    wzy = bzp[oz] * byp[oy]
+                    for ox in range(W8):
+                        sh = jax.lax.slice(
+                            eblk, (0, oz, oy, ox),
+                            (n, oz + side, oy + side, ox + side))
+                        acc = acc + wzy * bxp[ox] * sh
+            return jnp.sum(acc) * 1e-22
+
+        bufs = (cwin, env["lx"], env["ly"], env["lz"])
+
+    elif cand == "CNW":
+        # C's gather alone (constant weights): isolates gather-row cost
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        w64 = jax.jit(build_tiles)(cwin)
+
+        @jax.jit
+        @highest_precision
+        def step(bias, w64, lx, ly, lz):
+            lx = lx + bias
+            xq = jnp.clip(lx, 1.0, sw - 2.001)
+            yq = jnp.clip(ly, 1.0, sw - 2.001)
+            zq = jnp.clip(lz, 1.0, sw - 2.001)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            lin = ((zi - 1) * ti + (yi - 1)) * ti + (xi - 1)
+            nb = jnp.take_along_axis(w64, lin[:, :, None], axis=1)
+            return jnp.sum(nb) * 1e-22
+
+        bufs = (w64, env["lx"], env["ly"], env["lz"])
+
+    elif cand == "CW":
+        # C's weight build + product alone (fixed gather result)
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+
+        @jax.jit
+        @highest_precision
+        def step(bias, lx, ly, lz):
+            lx = lx + bias
+            xq = jnp.clip(lx, 1.0, sw - 2.001)
+            yq = jnp.clip(ly, 1.0, sw - 2.001)
+            zq = jnp.clip(lz, 1.0, sw - 2.001)
+            xi = jnp.floor(xq).astype(jnp.int32)
+            yi = jnp.floor(yq).astype(jnp.int32)
+            zi = jnp.floor(zq).astype(jnp.int32)
+            bx = bspline._basis(xq - xi.astype(jnp.float32))
+            by = bspline._basis(yq - yi.astype(jnp.float32))
+            bz = bspline._basis(zq - zi.astype(jnp.float32))
+            wgt = (bz[..., :, None, None] * by[..., None, :, None]
+                   * bx[..., None, None, :]).reshape(n, s, 64)
+            return jnp.sum(wgt) * 1e-22
+
+        bufs = (env["lx"], env["ly"], env["lz"])
+
+    elif cand in ("P", "P1"):
+        # Pallas gather-free lattice kernel (ops/pallas_lattice.py)
+        from opencorr_tpu.ops.pallas_lattice import lattice_eval
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        D = 1 if cand == "P1" else 2
+        side = 2 * R + 1
+        W8 = 4 + 2 * D
+        ext = side + W8 - 1
+
+        @jax.jit
+        @highest_precision
+        def step(bias, cwin, lx, ly, lz):
+            lx = (lx + bias).reshape(n, side, side, side)
+            lyr = ly.reshape(n, side, side, side)
+            lzr = lz.reshape(n, side, side, side)
+            xi = jnp.floor(lx).astype(jnp.int32)
+            yi = jnp.floor(lyr).astype(jnp.int32)
+            zi = jnp.floor(lzr).astype(jnp.int32)
+            fx = lx - xi.astype(jnp.float32)
+            fy = lyr - yi.astype(jnp.float32)
+            fz = lzr - zi.astype(jnp.float32)
+            c = side // 2
+            bx0 = jnp.clip(xi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            by0 = jnp.clip(yi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            bz0 = jnp.clip(zi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            eblk = jax.vmap(lambda cw, z0, y0, x0: jax.lax.dynamic_slice(
+                cw, (z0, y0, x0), (ext, ext, ext)))(cwin, bz0, by0, bx0)
+            ii = jnp.arange(side, dtype=jnp.int32)
+            ddx = xi - 1 - bx0[:, None, None, None] - ii[None, None, None, :]
+            ddy = yi - 1 - by0[:, None, None, None] - ii[None, None, :, None]
+            ddz = zi - 1 - bz0[:, None, None, None] - ii[None, :, None, None]
+            val = lattice_eval(eblk, ddz, ddy, ddx, fz, fy, fx,
+                               d_wobble=D, slab=8)
+            return jnp.sum(val) * 1e-22
+
+        bufs = (cwin, env["lx"], env["ly"], env["lz"])
+
+    elif cand == "PK":
+        # lattice kernel with PREPACKED inputs: isolates kernel cost from
+        # the per-iteration pack/unpack transposes
+        from opencorr_tpu.ops import pallas_lattice as pla
+        import functools as ft
+        cwin = gather_windows(env["coeff"], env["wcx"], env["wcy"], env["wcz"])
+        D = 1
+        side = 2 * R + 1
+        W6 = 4 + 2 * D
+        ext = side + W6 - 1
+
+        def build(cwin, lx, ly, lz):
+            lx = lx.reshape(n, side, side, side)
+            lyr = ly.reshape(n, side, side, side)
+            lzr = lz.reshape(n, side, side, side)
+            xi = jnp.floor(lx).astype(jnp.int32)
+            yi = jnp.floor(lyr).astype(jnp.int32)
+            zi = jnp.floor(lzr).astype(jnp.int32)
+            fx = lx - xi.astype(jnp.float32)
+            fy = lyr - yi.astype(jnp.float32)
+            fz = lzr - zi.astype(jnp.float32)
+            c = side // 2
+            bx0 = jnp.clip(xi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            by0 = jnp.clip(yi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            bz0 = jnp.clip(zi[:, c, c, c] - c - 1 - D, 0, sw - ext)
+            eblk = jax.vmap(lambda cw, z0, y0, x0: jax.lax.dynamic_slice(
+                cw, (z0, y0, x0), (ext, ext, ext)))(cwin, bz0, by0, bx0)
+            ii = jnp.arange(side, dtype=jnp.int32)
+            ddx = xi - 1 - bx0[:, None, None, None] - ii[None, None, None, :]
+            ddy = yi - 1 - by0[:, None, None, None] - ii[None, None, :, None]
+            ddz = zi - 1 - bz0[:, None, None, None] - ii[None, :, None, None]
+            return eblk, ddz, ddy, ddx, fz, fy, fx
+
+        args = jax.jit(build)(cwin, env["lx"], env["ly"], env["lz"])
+
+        @jax.jit
+        @highest_precision
+        def step(bias, eblk, ddz, ddy, ddx, fz, fy, fx):
+            val = pla.lattice_eval(eblk + bias * 1e-30, ddz, ddy, ddx,
+                                   fz, fy, fx, d_wobble=D, slab=8)
+            return jnp.sum(val) * 1e-22
+
+        bufs = args
+
+    elif cand == "M":
+        # pure bandwidth probe: one elementwise pass over 1 GB
+        big = jax.random.uniform(jax.random.PRNGKey(2), (256 * 1024 * 1024,),
+                                 jnp.float32)
+
+        @jax.jit
+        def step(bias, big):
+            return jnp.sum(big * (1.0 + bias * 1e-30)) * 1e-22
+
+        bufs = (big,)
+
+    elif cand == "MM":
+        # MXU probe: [4096, 4096] f32 matmul (~137 GFLOP at k-chain)
+        a = jax.random.uniform(jax.random.PRNGKey(3), (4096, 4096),
+                               jnp.float32)
+
+        @jax.jit
+        @highest_precision
+        def step(bias, a):
+            return jnp.sum(a @ (a + bias * 1e-30)) * 1e-22
+
+        bufs = (a,)
+
     elif cand == "W":
         @jax.jit
         def step(bias, coeff, wcx, wcy, wcz):

@@ -31,14 +31,15 @@ def _icgn2d_adaptive_full(gx, gy, ref_img, tar_lut, t, conv, max_iter,
     return t.replace(p=p_out, r=r)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("rx", "ry", "rz", "window_margin"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("rx", "ry", "rz", "window_margin", "eval_mode"))
 def _icgn3d1_full(gx, gy, gz, ref_vol, coeff, t, conv, max_iter,
-                  *, rx, ry, rz, window_margin=None):
+                  *, rx, ry, rz, window_margin=None, eval_mode="tile"):
     p_out, u0, v0, w0, zncc, it, dpn, computed = icgn_ops.icgn3d1(
         gx, gy, gz, ref_vol, coeff, t.x, t.y, t.z, t.p,
         t.r[:, poi_mod.R3_ZNCC], conv, max_iter, rx=rx, ry=ry, rz=rz,
-        window_margin=window_margin)
+        window_margin=window_margin, eval_mode=eval_mode)
     r = t.r
     r = r.at[:, poi_mod.R3_ZNCC].set(zncc)
     r = r.at[:, poi_mod.R3_U0].set(
@@ -197,23 +198,32 @@ class ICGN3D1(base.Module3D):
                  subset_radius_z: int, conv_criterion: float = 0.001,
                  stop_condition: float = 10,
                  chunk_size: Optional[int] = None,
-                 window_margin: Optional[int] = 8):
+                 window_margin: Optional[int] = 8,
+                 eval_mode: str = "lattice"):
         """``chunk_size=None`` sizes POI chunks from a memory budget so the
         per-chunk working set stays bounded for any subset radius.
 
         ``window_margin`` (default 8) selects the windowed-coefficient
         kernel: target samples interpolate through per-POI coefficient
-        windows of half-extent r+margin, expanded once per chunk into
-        contiguous tile LUTs (ops/icgn.icgn3d1 ``window_margin``) — the
-        CT-scale fix for the global-volume gather (PERF.md).  ``None``
-        selects the global-volume path (bit-compatible semantics except
-        that windowed fails diverging POIs with -3 once they wander
-        > margin-2 voxels past their seed)."""
+        windows of half-extent r+margin (ops/icgn.icgn3d1
+        ``window_margin``) — the CT-scale fix for the global-volume gather
+        (PERF.md).  ``None`` selects the global-volume path
+        (bit-compatible semantics except that windowed fails diverging
+        POIs with -3 once they wander > margin-2 voxels past their seed).
+
+        ``eval_mode`` (windowed only): "lattice" (default) evaluates
+        through the gather-free Pallas lattice kernel
+        (ops/pallas_lattice.py) — same 64 tap products as the reference,
+        f32 summation reordered (~1e-6 voxel); high-strain chunks fall
+        back in-program to the exact path.  "tile" uses the per-chunk
+        64-wide tile LUT gather, bit-identical to the global path but
+        ~4x slower per iteration and 64x the window memory."""
         super().__init__(subset_radius_x, subset_radius_y, subset_radius_z)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
         self.chunk_size = chunk_size
         self.window_margin = window_margin
+        self.eval_mode = eval_mode
         self._gx = None
         self._gy = None
         self._gz = None
@@ -243,10 +253,17 @@ class ICGN3D1(base.Module3D):
         rx, ry, rz = (self.subset_radius_x, self.subset_radius_y,
                       self.subset_radius_z)
         margin = self.window_margin
+        mode = self.eval_mode
         chunk = self.chunk_size
         if chunk is None:
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
-            if margin is not None:
+            if margin is not None and mode == "lattice":
+                # no tile LUT: the working set is the coefficient windows
+                # plus ~16 sample-sized f32 arrays, so chunks can be 2x the
+                # global path's poi*voxel budget (500 POIs at r=16 runs at
+                # Torus volume dims; 1000 faults the v5e — device OOM)
+                chunk = max(8, 18_000_000 // s)
+            elif margin is not None:
                 # tile-LUT budget: each POI's window LUT is
                 # (2(r+margin)-2)^3 * 256 bytes; ~2 GB of LUT per chunk
                 # (HBM also holds the 5 volumes), additionally capped by the
@@ -268,6 +285,7 @@ class ICGN3D1(base.Module3D):
         def run(t, gx, gy, gz, ref_vol, coeff, conv, max_iter):
             return _icgn3d1_full(gx, gy, gz, ref_vol,
                                  coeff, t, conv, max_iter,
-                                 rx=rx, ry=ry, rz=rz, window_margin=margin)
+                                 rx=rx, ry=ry, rz=rz, window_margin=margin,
+                                 eval_mode=mode)
 
         return base.chunked(run, table, chunk, consts=consts)

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from . import bspline, linalg as linalg_ops, warp as warp_ops
+from .pallas_lattice import lattice_eval
 from ..utils.precision import highest_precision
 
 
@@ -464,8 +465,9 @@ def gather_subsets_3d(vol, x0, y0, z0, rx, ry, rz):
     )
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("rx", "ry", "rz", "window_margin"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("rx", "ry", "rz", "window_margin", "eval_mode"))
 @highest_precision
 def icgn3d1(
     gx: jnp.ndarray,
@@ -485,6 +487,7 @@ def icgn3d1(
     ry: int,
     rz: int,
     window_margin: Optional[int] = None,
+    eval_mode: str = "tile",
     z_guard_lo=None,
     z_guard_hi=None,
 ):
@@ -583,12 +586,13 @@ def icgn3d1(
                 tar_coeff, (z0, y0, x0), (swz, swy, swx))
 
         cwin = jax.vmap(_win)(wcz, wcy, wcx)
-        w64 = bspline.tricubic_window_tiles(cwin)
+        if eval_mode == "tile":
+            w64 = bspline.tricubic_window_tiles(cwin)
         wcxf = wcx.astype(f32)[:, None]
         wcyf = wcy.astype(f32)[:, None]
         wczf = wcz.astype(f32)[:, None]
 
-        def eval_tar(gxc, gyc, gzc):
+        def _local_oob(gxc, gyc, gzc):
             # Global range guard: the EXACT float comparisons the global
             # path runs (bspline._tricubic_eval_impl) — round 3's windowed
             # wiring computed this mask on localized floats inside the
@@ -613,8 +617,99 @@ def icgn3d1(
                 | (eyf < 1) | (eyf > swy - 3)
                 | (ezf < 1) | (ezf > swz - 3)
             )
-            return bspline.tricubic_eval_tiled(
-                w64, (swz, swy, swx), lx, ly, lz, oob)
+            return lx, ly, lz, exf, eyf, ezf, oob
+
+        if eval_mode == "tile":
+            def eval_tar(gxc, gyc, gzc):
+                lx, ly, lz, _, _, _, oob = _local_oob(gxc, gyc, gzc)
+                return bspline.tricubic_eval_tiled(
+                    w64, (swz, swy, swx), lx, ly, lz, oob)
+        else:
+            # Gather-free lattice eval (ops/pallas_lattice.py): warped
+            # subset samples sit on a near-regular integer lattice, so the
+            # 64-tap tricubic sum becomes (4+2D)^3 statically shifted VMEM
+            # slices of a per-POI extended block — pure VPU work, zero
+            # gathers (measured 4.3x the tile path's per-iteration cost at
+            # Torus scale, bench_gather_ab.py P1 vs C).  Samples whose
+            # lattice deviation exceeds D ("wobble overflow": |strain|
+            # above ~D/r, or GN drift past the block edge) are detected
+            # with int32 compares OUTSIDE the kernel and the whole
+            # iteration falls back to the exact global-volume eval under a
+            # lax.cond, so semantics stay exact for any deformation.
+            D = 1
+            wlat = 4 + 2 * D
+            elx, ely, elz = sx + wlat - 1, sy + wlat - 1, sz + wlat - 1
+            iix = jnp.arange(sx, dtype=jnp.int32)
+            iiy = jnp.arange(sy, dtype=jnp.int32)
+            iiz = jnp.arange(sz, dtype=jnp.int32)
+            interp = jax.default_backend() != "tpu"
+            # Pad the windows by 1+D per side: near the volume edge the
+            # coefficient window is clipped off-center, which would clip
+            # the lattice base and shift every placement offset out of
+            # range (a spurious whole-chunk fallback for ~6% of the Torus
+            # queue).  With the pad, any POI whose samples are ALL
+            # in-range keeps an unclipped base; samples touching the pad
+            # are globally out-of-range and masked anyway.
+            pw = 1 + D
+            cwin_p = jnp.pad(cwin, ((0, 0), (pw, pw), (pw, pw), (pw, pw)))
+
+            def eval_tar(gxc, gyc, gzc):
+                lx, ly, lz, exf, eyf, ezf, oob = _local_oob(gxc, gyc, gzc)
+                xi = exf.reshape(n, sz, sy, sx)
+                yi = eyf.reshape(n, sz, sy, sx)
+                zi = ezf.reshape(n, sz, sy, sx)
+                fx = lx.reshape(n, sz, sy, sx) - xi.astype(f32)
+                fy = ly.reshape(n, sz, sy, sx) - yi.astype(f32)
+                fz = lz.reshape(n, sz, sy, sx) - zi.astype(f32)
+                oob4 = oob.reshape(n, sz, sy, sx)
+                # Lattice base from the center sample's integer corner, in
+                # PADDED window coords (xi + pw).
+                bx0 = jnp.clip(xi[:, rz, ry, rx] + pw - rx - 1 - D,
+                               0, swx + 2 * pw - elx)
+                by0 = jnp.clip(yi[:, rz, ry, rx] + pw - ry - 1 - D,
+                               0, swy + 2 * pw - ely)
+                bz0 = jnp.clip(zi[:, rz, ry, rx] + pw - rz - 1 - D,
+                               0, swz + 2 * pw - elz)
+                pdx = (xi + pw - 1 - bx0[:, None, None, None]
+                       - iix[None, None, None, :])
+                pdy = (yi + pw - 1 - by0[:, None, None, None]
+                       - iiy[None, None, :, None])
+                pdz = (zi + pw - 1 - bz0[:, None, None, None]
+                       - iiz[None, :, None, None])
+                # OOB samples must contribute nothing: -1 matches no slot.
+                pdx = jnp.where(oob4, -1, pdx)
+                pdy = jnp.where(oob4, -1, pdy)
+                pdz = jnp.where(oob4, -1, pdz)
+                # A POI with ANY out-of-range sample fails -3 this
+                # iteration regardless of values (fail_any below), so its
+                # placements must not trigger the exact-path fallback.
+                doomed = jnp.any(oob4, axis=(1, 2, 3))
+                wobble = (
+                    (pdx < 0) | (pdx > 2 * D)
+                    | (pdy < 0) | (pdy > 2 * D)
+                    | (pdz < 0) | (pdz > 2 * D)
+                ) & ~oob4 & ~doomed[:, None, None, None]
+                overflow = jnp.any(wobble)
+
+                def _lat(_):
+                    eblk = jax.vmap(
+                        lambda cw, z0, y0, x0: jax.lax.dynamic_slice(
+                            cw, (z0, y0, x0), (elz, ely, elx)))(
+                        cwin_p, bz0, by0, bx0)
+                    val = lattice_eval(
+                        eblk, pdz, pdy, pdx, fz, fy, fx,
+                        d_wobble=D, slab=8, interpret=interp)
+                    return jnp.where(oob4, f32(-1.0), val).reshape(n, s)
+
+                def _fallback(_):
+                    # Exact path: global-volume eval (bit-identical to the
+                    # tile path for in-window samples) with the same
+                    # window-exit -3 semantics imposed via the oob mask.
+                    tval, _unused = bspline.tricubic_eval(
+                        tar_coeff, gxc, gyc, gzc)
+                    return jnp.where(oob, f32(-1.0), tval)
+
+                return jax.lax.cond(overflow, _fallback, _lat, 0)
     else:
         def eval_tar(gxc, gyc, gzc):
             tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)

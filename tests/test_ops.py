@@ -294,7 +294,10 @@ def test_icgn3d1_windowed_matches_global():
 
     outs = {}
     for margin in (None, 8):
-        ic = oc.ICGN3D1(8, 8, 8, 0.001, 10, window_margin=margin)
+        # eval_mode="tile" pins the bit-exact windowed path (the default
+        # lattice kernel reorders the f32 tap sum; TestLatticeEval covers it)
+        ic = oc.ICGN3D1(8, 8, 8, 0.001, 10, window_margin=margin,
+                        eval_mode="tile")
         ic.set_images(ref.astype(np.float32), tar.astype(np.float32))
         ic.prepare()
         f = oc.FFTCC3D(8, 8, 8)
@@ -306,3 +309,65 @@ def test_icgn3d1_windowed_matches_global():
     np.testing.assert_array_equal(np.asarray(outs[None].p),
                                   np.asarray(outs[8].p))
     np.testing.assert_array_equal(za, zb)
+
+
+class TestLatticeEval:
+    """Gather-free lattice ICGN3D1 (ops/pallas_lattice.py, eval_mode on
+    ops/icgn.icgn3d1).  The lattice kernel computes the SAME 64 products as
+    the reference's 4x4x4 tricubic evaluation (oc_cubic_bspline.cpp:353-405)
+    in a different f32 summation order, so results match the tile path to
+    reorder level; the wobble-overflow fallback path is bit-exact."""
+
+    @staticmethod
+    def _setup(e, seed=0):
+        from scipy.ndimage import gaussian_filter, map_coordinates
+        from opencorr_tpu.ops import icgn as icgn_ops, gradient as grad_ops
+
+        rng = np.random.default_rng(seed)
+        D, H, W = 48, 52, 56
+        ref = gaussian_filter(rng.standard_normal((D, H, W)), 1.6) * 55 + 128
+        ref = ref.astype(np.float32)
+        zz, yy, xx = np.meshgrid(np.arange(D), np.arange(H), np.arange(W),
+                                 indexing="ij")
+        tar = map_coordinates(
+            ref, [zz - 0.4 + e * (zz - D / 2), yy + 0.25, xx - 0.6],
+            order=3, mode="nearest").astype(np.float32)
+        coeff = bspline.tricubic_prepare(jnp.asarray(tar))
+        gx = grad_ops.gradient_x_3d(jnp.asarray(ref))
+        gy = grad_ops.gradient_y_3d(jnp.asarray(ref))
+        gz = grad_ops.gradient_z_3d(jnp.asarray(ref))
+        n = 7
+        xs = jnp.asarray(rng.uniform(16, W - 17, n), jnp.float32)
+        ys = jnp.asarray(rng.uniform(16, H - 17, n), jnp.float32)
+        zs = jnp.asarray(rng.uniform(16, D - 17, n), jnp.float32)
+        p0 = np.zeros((n, 12), np.float32)
+        if e:
+            # seed near truth so GN iterates at the high-strain warp
+            p0[:, 8] = 0.4 - e * (np.asarray(zs) - D / 2)
+            p0[:, 11] = -e
+        args = (gx, gy, gz, jnp.asarray(ref), coeff, xs, ys, zs,
+                jnp.asarray(p0), jnp.zeros(n, jnp.float32),
+                jnp.float32(0.001), jnp.float32(10))
+        kw = dict(rx=8, ry=8, rz=8, window_margin=8)
+        run = lambda mode: icgn_ops.icgn3d1(*args, **kw, eval_mode=mode)
+        return run
+
+    def test_small_strain_matches_tile(self):
+        run = self._setup(e=0.01)
+        out_t, out_l = run("tile"), run("lattice")
+        zt, zl = np.asarray(out_t[4]), np.asarray(out_l[4])
+        assert (zt > 0.99).all() and (zl > 0.99).all()
+        np.testing.assert_allclose(np.asarray(out_l[0]),
+                                   np.asarray(out_t[0]), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(out_t[5]),
+                                      np.asarray(out_l[5]))  # same iterations
+
+    def test_wobble_overflow_falls_back_bit_exact(self):
+        # 25% strain: lattice deviation at r=8 is ~2 voxels > D=1, so every
+        # iteration takes the lax.cond fallback (global eval, bit-identical
+        # to the tile path) — outputs must match EXACTLY.
+        run = self._setup(e=0.25)
+        out_t, out_l = run("tile"), run("lattice")
+        assert (np.asarray(out_t[4]) > 0.99).all()
+        for a, b in zip(out_t, out_l):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
