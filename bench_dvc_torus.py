@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import opencorr_tpu as oc
 
 BASE = {"SIFT": 233.48, "FeatureAffine": 0.510974, "ICGN": 66.5677}
-CACHE = "/tmp/torus_synth.npz"
+CACHE = "/tmp/torus_synth_u8.npz"
 KPS_NPZ = "/tmp/torus_sift_kps.npz"
 
 
@@ -99,7 +99,11 @@ def synth_torus_pair(dims=(568, 288, 940), seed=0):
         ]
         coords = np.broadcast_arrays(*coords)
         tar[z0:z1] = map_coordinates(ref, coords, order=1, mode="nearest")
-    return ref, tar
+    # 8-bit quantization: real CT volumes are uint8 (the reference's Torus
+    # .bin payloads); the thin-wire upload path (models/base._upload_f32)
+    # then moves 1 byte/voxel over the host link instead of 4.
+    return (np.clip(np.rint(ref), 0, 255).astype(np.uint8),
+            np.clip(np.rint(tar), 0, 255).astype(np.uint8))
 
 
 def _load_pair():
@@ -131,9 +135,13 @@ def stage_sift():
 
     from opencorr_tpu.ops import sift3d as ops3d
 
+    from opencorr_tpu.models.base import _upload_f32
+    refd = _upload_f32(ref)
+    tard = _upload_f32(tar)
+
     def run():
-        kp1d, desc1d, ok1d = sift._extract_device(jax.numpy.asarray(ref))
-        kp2d, desc2d, ok2d = sift._extract_device(jax.numpy.asarray(tar))
+        kp1d, desc1d, ok1d = sift._extract_device(refd)
+        kp2d, desc2d, ok2d = sift._extract_device(tard)
         d12, i12 = ops3d.match_top2(desc1d, desc2d, ok2d,
                                     chunk=min(2048, desc1d.shape[0]))
         jax.block_until_ready((kp1d, ok1d, kp2d, ok2d, d12, i12))

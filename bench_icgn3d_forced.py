@@ -75,10 +75,9 @@ def main():
     out = icgn.compute(table)
     # ONE forced readback: drains the whole queue, waits for completion,
     # and proves convergence + accuracy in the same transfer.
-    uo = np.asarray(out.p[:, 0])
-    vo = np.asarray(out.p[:, 4])
-    wo = np.asarray(out.p[:, 8])
-    zncc = np.asarray(out.r[:, poi_mod.R3_ZNCC])
+    p_host = np.asarray(out.p)
+    uo, vo, wo = p_host[:, 0], p_host[:, 4], p_host[:, 8]
+    zncc = np.asarray(out.r)[:, poi_mod.R3_ZNCC]
     forced_s = time.time() - t1
     total_s = time.time() - t0
 

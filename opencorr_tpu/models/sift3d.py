@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import base
 from ..ops import sift3d as ops3d
 from ..utils.precision import highest_precision
 
@@ -365,10 +366,10 @@ class SIFT3D:
     # ------------------------------------------------------------------
     def compute(self):
         if self.pyramid_backend == "device":
-            ref_vol = jnp.asarray(getattr(self.ref_img, "mat", self.ref_img),
-                                  jnp.float32)
-            tar_vol = jnp.asarray(getattr(self.tar_img, "mat", self.tar_img),
-                                  jnp.float32)
+            ref_vol = base._upload_f32(
+                getattr(self.ref_img, "mat", self.ref_img))
+            tar_vol = base._upload_f32(
+                getattr(self.tar_img, "mat", self.tar_img))
             kp1d, desc1d, ok1d = self._extract_device(ref_vol)
             kp2d, desc2d, ok2d = self._extract_device(tar_vol)
             # 2-NN search on device; only [K, 2] distance/index tables, the
