@@ -136,7 +136,9 @@ def run_stage(stage, k):
                 for e in exts:
                     flat += [e[1], e[2], e[3], e[4]]
                 bufs = (g[1], g[2], g[3], *flat)
-            elif stage == "desc":
+            elif stage.startswith("desc"):
+                parts = {"desc": "full", "desc_nobary": "nobary",
+                         "desc_noein": "noein"}[stage]
                 surv = []
                 for (n, x, y, z, ok, scale) in exts:
                     _, r_o, chunk_o, k_d, r_d, chunk_d, _ = layer_param(n)
@@ -158,7 +160,7 @@ def run_stage(stage, k):
                         desc = ops3d.describe_keypoints(
                             gs[i], xd, yd, zd, okd, rotd,
                             jnp.float32(scale), units_arr, trunc + bias,
-                            r=r_d, chunk=chunk_d)
+                            r=r_d, chunk=chunk_d, parts=parts)
                         acc = acc + jnp.sum(desc[:, 0] * okd)
                     return acc * 1e-9
 
@@ -182,7 +184,10 @@ def run_stage(stage, k):
 
 def orchestrate():
     ks = (2, 22)
-    for stage in ("blur", "ext", "orient", "desc"):
+    import sys as _sys
+    stages = (_sys.argv[1].split(",") if len(_sys.argv) > 1
+              else ["blur", "ext", "orient", "desc"])
+    for stage in stages:
         per = {}
         for k in ks:
             for attempt in range(2):

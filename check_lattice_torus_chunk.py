@@ -19,10 +19,12 @@ def main():
     import jax.numpy as jnp
     from opencorr_tpu.ops import icgn as icgn_ops, bspline, gradient
 
+    from opencorr_tpu.models.base import _upload_f32
+
     ref, tar = _load_pair()
     t0 = time.time()
-    refd = jnp.asarray(ref)
-    tard = jnp.asarray(tar)
+    refd = _upload_f32(ref)
+    tard = _upload_f32(tar)
     coeff = bspline.tricubic_prepare(tard)
     gx = gradient.gradient_x_3d(refd)
     gy = gradient.gradient_y_3d(refd)

@@ -39,6 +39,15 @@ from ..utils.precision import highest_precision
 
 IMG_BORDER = 1  # oc_sift.h:22
 
+# Histogram-contraction operand dtype: bf16 runs natively on the MXU; the
+# operands are tent/barycentric weights whose 0.4%-per-product rounding
+# averages out over the ~1e5-voxel descriptor sums.  Set
+# OPENCORR_SIFT3D_HIST_F32=1 to force f32 operands (A/B / debugging).
+import os as _os
+
+_HIST_DTYPE = (jnp.float32 if _os.environ.get("OPENCORR_SIFT3D_HIST_F32")
+               else jnp.bfloat16)
+
 # Icosahedron triangle tiles (oc_sift.cpp:209-232): vertex indices and vertex
 # coordinates per triangle.
 _T = 0.5257311
@@ -328,7 +337,18 @@ def _sh(win, dz, dy, dx):
     return jnp.roll(win, (dz, dy, dx), axis=(1, 2, 3))
 
 
-@functools.partial(jax.jit, static_argnames=())
+def _sphere_crop(r, scale, unit_xyz):
+    """Static per-axis active radii of the descriptor sphere: window
+    voxels with |offset_axis| * unit > 2 sigma = 10 sqrt(2) scale have
+    dist > sphere_radius and contribute exactly zero (+1 voxel float
+    safety).  The window radius r is bucketed to multiples of 8, so this
+    trims the dead shell (~40% of the cube at Torus scales)."""
+    rad = 2.0 * 5.0 * math.sqrt(2.0) * float(scale)
+    return tuple(min(r, int(rad / u) + 1) for u in
+                 (unit_xyz[2], unit_xyz[1], unit_xyz[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("parts", "crop"))
 @highest_precision
 def construct_descriptor(
     win: jnp.ndarray,  # [K, s, s, s]
@@ -343,8 +363,23 @@ def construct_descriptor(
     scale: jnp.ndarray,
     units: jnp.ndarray,
     truncate: jnp.ndarray,
+    parts: str = "full",
+    crop=None,
 ):
-    """Returns [K, 768] descriptors (constructDescriptor, oc_sift.cpp:1051-1250)."""
+    """Returns [K, 768] descriptors (constructDescriptor, oc_sift.cpp:1051-1250).
+
+    ``parts`` (bench-only knob, bench_sift3d_stages.py): "nobary" replaces
+    the 20-triangle barycentric search with a fixed one-hot; "noein"
+    replaces the [vs,64]x[vs,12] histogram contraction with a cheap
+    reduce — each isolates one term of the per-voxel cost.
+
+    ``crop``: optional static (cz, cy, cx) active radii — the window is
+    bucketed to multiples of 8 (r_desc) but only voxels within the
+    descriptor sphere (dist <= 2 sigma) contribute; cropping the dead
+    shell statically removes ~40% of the per-voxel work with identical
+    results up to f32 summation order (the callers compute the bound from
+    the STATIC layer scale; every cropped voxel has dist > sphere_radius
+    and thus contributed exactly zero)."""
     f32 = jnp.float32
     k = xi.shape[0]
     s = win.shape[1]
@@ -395,6 +430,16 @@ def construct_descriptor(
     gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2] * weight
     ggx, ggy, ggz = rotate(rot, gxv, gyv, gzv)
 
+    if crop is not None:
+        caz, cay, cax = crop
+        r0 = s // 2
+        sl = lambda a: a[:, r0 - caz:r0 + caz + 1, r0 - cay:r0 + cay + 1,
+                         r0 - cax:r0 + cax + 1]
+        ggx, ggy, ggz = sl(ggx), sl(ggy), sl(ggz)
+        sub_x, sub_y, sub_z = sl(sub_x), sl(sub_y), sl(sub_z)
+        valid = sl(valid)
+        v = (2 * caz + 1) * (2 * cay + 1) * (2 * cax + 1)
+
     # --- slab-scanned histogram ---------------------------------------------
     # Everything per-voxel from here on (gradient magnitude, icosahedron
     # barycentric search, trilinear tent weights, the [64, vs] x [vs, 12]
@@ -422,6 +467,8 @@ def construct_descriptor(
     verts = ICOSA_VERTICES
     tri = ICOSA_TRIPLETS
 
+    # slab size: A/B'd on hardware — 16384 measured 24.8 s/pass vs 22.1 s
+    # at 4096 (bigger slabs spill VMEM; smaller ones pay step overhead)
     vs = min(4096, v)
     pad_v = -v % vs
     nv = (v + pad_v) // vs
@@ -446,8 +493,15 @@ def construct_descriptor(
         # the first-matching triangle's barycentric coordinates fold into
         # per-vertex weights vw0 directly (static one-hot rows per triangle)
         found = jnp.zeros_like(mag2, bool)
-        vw0 = jnp.zeros_like(mag2[..., None] * j12)  # [K, vs, 12]
-        for t in range(20):
+        tsel = jnp.zeros_like(mag2, jnp.int32)
+        b0 = jnp.zeros_like(mag2)
+        b1 = jnp.zeros_like(mag2)
+        b2 = jnp.zeros_like(mag2)
+        tri_range = () if parts == "nobary" else range(20)
+        if parts == "nobary":
+            found = found | True
+            b0 = b0 + 1.0
+        for t in tri_range:
             v1, v2, v3 = verts[tri[t, 0]], verts[tri[t, 1]], verts[tri[t, 2]]
             e1 = v2 - v1
             e2 = v3 - v1
@@ -471,13 +525,28 @@ def construct_descriptor(
             r2 = kk * gz_f - (bx_t * v1[2] + by_t * v2[2] + bz_t * v3[2])
             ok_t = ok_t & (r0 * r0 + r1 * r1 + r2 * r2 <= eps10 * eps10)
             take_t = ok_t & ~found
-            oh = ((j12 == float(tri[t, 0])) * bx_t[..., None]
-                  + (j12 == float(tri[t, 1])) * by_t[..., None]
-                  + (j12 == float(tri[t, 2])) * bz_t[..., None])
-            vw0 = jnp.where(take_t[..., None], oh, vw0)
+            tsel = jnp.where(take_t, t, tsel)
+            b0 = jnp.where(take_t, bx_t, b0)
+            b1 = jnp.where(take_t, by_t, b1)
+            b2 = jnp.where(take_t, bz_t, b2)
             found = found | ok_t
         okv = okv & found
         mgf = mg * okv
+        # the selected triangle's vertex ids (static tri table folded into
+        # 20 int compares), then the 12-bin weights built ONCE — keeping
+        # the 12-wide one-hot out of the 20-triangle loop halves its cost
+        id0 = jnp.zeros_like(tsel)
+        id1 = jnp.zeros_like(tsel)
+        id2 = jnp.zeros_like(tsel)
+        for t in range(0 if parts == "nobary" else 20):
+            hit = tsel == t
+            id0 = jnp.where(hit, int(tri[t, 0]), id0)
+            id1 = jnp.where(hit, int(tri[t, 1]), id1)
+            id2 = jnp.where(hit, int(tri[t, 2]), id2)
+        i12 = jnp.arange(12, dtype=jnp.int32)
+        vw0 = ((i12 == id0[..., None]) * b0[..., None]
+               + (i12 == id1[..., None]) * b1[..., None]
+               + (i12 == id2[..., None]) * b2[..., None])
 
         # trilinear tents ((int) truncation, oc_sift.cpp:1184-1186)
         def tent(sub):
@@ -492,10 +561,22 @@ def construct_descriptor(
         cube_w = (wz[:, :, :, None, None] * wy[:, :, None, :, None]
                   * wx[:, :, None, None, :]).reshape(k, vs, 64)
         vert_w = vw0 * mgf[..., None]  # [K, vs, 12]
-        return acc + jnp.einsum("kvc,kvj->kcj", cube_w, vert_w), None
+        if parts == "noein":
+            cheap = (jnp.sum(cube_w, 1)[:, None, :]
+                     + jnp.sum(vert_w, 1)[:, :, None])
+            return acc + cheap * 1e-20, None
+        # bf16 operands (f32 accumulation): the inputs are tent/barycentric
+        # weights and gradient magnitudes — 8-bit mantissa rounding is
+        # ~0.4% per product and averages out over the ~1e5-voxel sums,
+        # while the MXU runs bf16 natively (OPENCORR_SIFT3D_HIST_F32=1
+        # forces f32 operands for A/B)
+        hd = _HIST_DTYPE
+        return acc + jnp.einsum("kvj,kvc->kjc", vert_w.astype(hd),
+                                cube_w.astype(hd),
+                                preferred_element_type=f32), None
 
-    desc, _ = jax.lax.scan(body, jnp.zeros((k, 64, 12), f32), slabs)
-    desc = desc.reshape(k, 768)
+    desc, _ = jax.lax.scan(body, jnp.zeros((k, 12, 64), f32), slabs)
+    desc = desc.transpose(0, 2, 1).reshape(k, 768)
 
     # normalize -> truncate -> normalize (oc_sift.cpp:1217-1248)
     eps = jnp.float32(np.finfo(np.float32).eps)
@@ -577,9 +658,10 @@ def orient_keypoints(vol, xi, yi, zi, ok_in, scale, units, grad_threshold,
     return rot.reshape(-1, 3, 3), ok.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("r", "chunk", "parts", "crop"))
 def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
-                       r, chunk):
+                       r, chunk, parts="full", crop=None):
     """Device window gather + construct_descriptor, streamed in chunks.
     All-padding chunks (front-compacted survivors, see orient_keypoints)
     skip the descriptor pipeline via lax.cond.  Returns desc [K, 768]."""
@@ -594,7 +676,8 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
         def live(_):
             win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
             return construct_descriptor(win, x0, y0, z0, xc, yc, zc, dims,
-                                        rc, scale, units, truncate)
+                                        rc, scale, units, truncate,
+                                        parts=parts, crop=crop)
 
         def dead(_):
             return jnp.zeros((xc.shape[0], 768), jnp.float32)
@@ -652,6 +735,7 @@ def octave_features(
     units_arr = jnp.asarray(np.array(unit_xyz, np.float32))
     outs = []
     for (n, k_e, r_o, chunk_o, k_d, r_d, chunk_d, scale) in layer_params:
+        crop = _sphere_crop(r_d, scale, unit_xyz)
         x, y, z, ok = extrema_compact(
             dogs[n - 1], dogs[n], dogs[n + 1], alpha * max_abs[n], k_cap=k_e)
         rot, ok2 = orient_keypoints(
@@ -661,7 +745,7 @@ def octave_features(
         xd, yd, zd, rotd, okd = compact_gather(ok, x, y, z, rot, k_cap=k_d)
         desc = describe_keypoints(
             g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
-            truncate, r=r_d, chunk=chunk_d)
+            truncate, r=r_d, chunk=chunk_d, crop=crop)
         outs.append((xd, yd, zd, okd, desc))
     return g[seed_layer], tuple(outs)
 
