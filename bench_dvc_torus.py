@@ -196,9 +196,14 @@ def stage_sift():
 
 
 def stage_dic():
-    """FA3D seeding + ICGN3D1 at the committed Torus POI list, timed on
-    device before any transfer; set BENCH_VERIFY=1 (real hardware) to also
-    read back convergence stats."""
+    """FA3D seeding + ICGN3D1 at the committed Torus POI list as ONE device
+    pipeline: FA3D's seeded table feeds ICGN3D1 directly on device (no
+    intermediate readback — the first readback flips this sandbox's tunnel
+    into a polled dispatch mode that would serialize the 158 ICGN chunk
+    programs at seconds each, PERF.md round-4), and a single final table
+    readback forces completion and proves convergence.  Per-stage numbers
+    come from the dedicated harnesses (bench_fa3d_forced.py slope,
+    bench_icgn3d_forced.py single-stage forced)."""
     ref, tar = _load_pair()
     d = np.load(KPS_NPZ)
     mk1, mk2 = d["mk1"], d["mk2"]
@@ -207,64 +212,36 @@ def stage_dic():
     pois_xyz = np.genfromtxt("/root/reference/examples/dvc/Torus_POIs.csv",
                              delimiter=",", skip_header=1, dtype=np.float32)
     pois0 = oc.new_table_3d(pois_xyz[:, 0], pois_xyz[:, 1], pois_xyz[:, 2])
-    timings = {"SIFT": sift_device_s}
 
     fa = oc.FeatureAffine3D(16, 16, 16)
     fa.set_keypoint_pair(mk1, mk2)
-    # cold = kd-tree + candidate build + compile + device RANSAC (first call);
-    # steady = cached candidates, warm program.  Host POI coords are passed
-    # explicitly: reading table.x back here would flip the tunnel session into
-    # polled dispatch mode and poison every later timing (CLAUDE.md gotcha).
-    # Stage timings are forced by a scalar readback (block_until_ready
-    # returns at enqueue through this tunnel, PERF.md note); the readback
-    # drains the queued chunk dispatches at the tunnel's poll interval, so
-    # these are UPPER bounds that include tunnel drain a real deployment
-    # would not pay.
-    t0 = time.time()
-    fa.prepare(pois0, points=pois_xyz[:, :3])
-    seeded = fa.compute(pois0)
-    jax.block_until_ready(seeded.p)
-    fa_cold = time.time() - t0
-    t0 = time.time()
-    seeded = fa.compute(pois0)
-    _ = float(np.asarray(jnp.sum(seeded.p[:, 0])))
-    timings["FeatureAffine"] = fa_steady = time.time() - t0
-    print(json.dumps({"stage": "FeatureAffine", "cold_s": round(fa_cold, 2),
-                      "seconds": round(fa_steady, 3),
-                      "n_matches": int(len(mk1)),
-                      "vs_baseline": round(
-                          BASE['FeatureAffine'] / fa_steady, 1)}),
-          flush=True)
-
     icgn = oc.ICGN3D1(16, 16, 16, 0.001, 10,
                       eval_mode=os.environ.get("DVC_EVAL_MODE", "lattice"))
     icgn.set_images(ref, tar)
+
     t0 = time.time()
+    fa.prepare(pois0, points=pois_xyz[:, :3])
+    seeded = fa.compute(pois0)
     icgn.prepare()
     pois = icgn.compute(seeded)
-    jax.block_until_ready(pois.p)
-    icgn_cold = time.time() - t0
-    t0 = time.time()
-    pois = icgn.compute(seeded)
-    _ = float(np.asarray(jnp.sum(pois.p[:, 0])))
-    timings["ICGN"] = icgn_steady = time.time() - t0
-    print(json.dumps({"stage": "ICGN", "cold_s": round(icgn_cold, 2),
-                      "seconds": round(icgn_steady, 2),
-                      "vs_baseline": round(BASE['ICGN'] / icgn_steady, 1)}),
-          flush=True)
+    zncc = np.asarray(pois.r[:, 3])  # ONE forced readback: FA + ICGN
+    dic_s = time.time() - t0
+    conv = float((zncc > 0.8).mean())
+    print(json.dumps({"stage": "DIC_pipeline_forced",
+                      "seconds": round(dic_s, 2), "n_poi": int(pois.n),
+                      "converged_frac": round(conv, 4),
+                      "vs_baseline": round(
+                          (BASE["FeatureAffine"] + BASE["ICGN"]) / dic_s,
+                          2)}), flush=True)
 
-    total = sum(timings.values())
+    total = sift_device_s + dic_s
     base_total = sum(BASE.values())
     print(json.dumps({
         "metric": "dvc_sift_icgn1_torus_total_s", "value": round(total, 2),
         "unit": "s", "n_poi": int(pois.n),
-        "stages_s": {k: round(v, 2) for k, v in timings.items()},
-        "vs_baseline": round(base_total / total, 1)}), flush=True)
-    if os.environ.get("BENCH_VERIFY"):
-        z = np.asarray(pois.zncc)
-        print(json.dumps({"stage": "dic_verify",
-                          "converged_frac": round(float((z > 0.8).mean()),
-                                                  3)}), flush=True)
+        "stages_s": {"SIFT": round(sift_device_s, 2),
+                     "FA+ICGN": round(dic_s, 2)},
+        "vs_baseline": round(base_total / total, 2)}), flush=True)
 
 
 def main():
