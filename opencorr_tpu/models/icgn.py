@@ -254,6 +254,14 @@ class ICGN3D1(base.Module3D):
                       self.subset_radius_z)
         margin = self.window_margin
         mode = self.eval_mode
+        if margin is not None:
+            # The windowed kernels dynamic-slice (2(r+margin)+1)^3 windows;
+            # a volume dim smaller than the window fails at trace time (and
+            # clip bounds invert).  Such small volumes are cheap — use the
+            # global eval, the old default for them (advisor round 4).
+            dz, dy, dx = self.ref_vol.shape
+            if min(dx - 2 * rx, dy - 2 * ry, dz - 2 * rz) - 1 < 2 * margin:
+                margin = None
         chunk = self.chunk_size
         if chunk is None:
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)

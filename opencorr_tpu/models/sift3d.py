@@ -59,11 +59,15 @@ class SIFT3D:
     descriptors and matching always run on device."""
 
     def __init__(self, kp_chunk_budget_bytes: int = 1 << 30,
-                 pyramid_backend: str = "host", match_mode: str = "mono"):
+                 pyramid_backend: str = "host", match_mode: str = "mono",
+                 hist_bf16: bool = False):
         self.pyramid_backend = pyramid_backend
         # "mono": monodirectional with many-to-one elimination (reference
         # default); "bi": strict bidirectional check (oc_sift.cpp:1420-1489)
         self.match_mode = match_mode
+        # bf16 histogram-contraction operands (~2x MXU rate): explicit
+        # opt-in — the reference's descriptors are f32 (advisor round 4)
+        self.hist_bf16 = bool(hist_bf16)
         self.sift_config = Sift3dConfig()
         self.matching_ratio = 0.85  # oc_sift.cpp:153
         self.physical_unit = (1.0, 1.0, 1.0)
@@ -336,7 +340,7 @@ class SIFT3D:
                 seed, alpha, grad_thr, beta, gamma, trunc,
                 sigmas=sigmas, unit_xyz=layers[base].units,
                 downsample_to=down, layer_params=tuple(lp),
-                seed_layer=cfg.n_octave_layers)
+                seed_layer=cfg.n_octave_layers, hist_bf16=self.hist_bf16)
             for (n, *_rest), (xd, yd, zd, okd, desc) in zip(lp, outs):
                 staged.append((xd, yd, zd, okd, desc, m, n,
                                layers[base + n].scale))

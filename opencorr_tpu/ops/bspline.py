@@ -62,6 +62,17 @@ BSPLINE_PREFILTER = np.array(
 )
 
 
+def _below(bound: int) -> np.float32:
+    """Largest float32 strictly below ``bound`` (a static Python int).
+
+    Used as the upper clip for in-range samples: the range guards exclude
+    x >= bound, so every unmasked sample is < bound and the clip must not
+    perturb its fractional part (the old ``bound - 0.001`` clip shifted
+    samples in (bound-0.001, bound), contradicting reference parity in that
+    band — advisor round 4)."""
+    return np.nextafter(np.float32(bound), np.float32(0.0))
+
+
 @highest_precision
 def bicubic_prepare(img: jnp.ndarray) -> jnp.ndarray:
     """Build the [H, W, 4, 4] coefficient LUT (oc_cubic_bspline.cpp:84-132).
@@ -105,8 +116,12 @@ def bicubic_eval(lut: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray):
         | jnp.isnan(xs)
         | jnp.isnan(ys)
     )
-    xq = jnp.clip(xs, 1.0, w - 2.001)
-    yq = jnp.clip(ys, 1.0, h - 2.001)
+    # Clip to just below the range guard (largest f32 < w-2): a sample in
+    # [nextafter(w-2), w-2) passes the guard and must evaluate at its exact
+    # fractional part like the reference's unclipped eval
+    # (oc_cubic_bspline.cpp:137-181); the clip only sanitizes masked samples.
+    xq = jnp.clip(xs, 1.0, _below(w - 2))
+    yq = jnp.clip(ys, 1.0, _below(h - 2))
     xi = jnp.floor(xq).astype(jnp.int32)
     yi = jnp.floor(yq).astype(jnp.int32)
     xd = xq - xi.astype(jnp.float32)
@@ -218,9 +233,9 @@ def tricubic_eval_windowed(cwin: jnp.ndarray, lx: jnp.ndarray,
         | jnp.isnan(lx) | jnp.isnan(ly) | jnp.isnan(lz)
         | oob_extra
     )
-    xq = jnp.clip(lx, 1.0, swx - 2.001)
-    yq = jnp.clip(ly, 1.0, swy - 2.001)
-    zq = jnp.clip(lz, 1.0, swz - 2.001)
+    xq = jnp.clip(lx, 1.0, _below(swx - 2))
+    yq = jnp.clip(ly, 1.0, _below(swy - 2))
+    zq = jnp.clip(lz, 1.0, _below(swz - 2))
     xi = jnp.floor(xq).astype(jnp.int32)
     yi = jnp.floor(yq).astype(jnp.int32)
     zi = jnp.floor(zq).astype(jnp.int32)
@@ -319,9 +334,13 @@ def tricubic_eval_tiled(w64: jnp.ndarray, sw: tuple, lx: jnp.ndarray,
     swz, swy, swx = sw
     n, s = lx.shape
     tz_n, ty_n, tx_n = swz - 3, swy - 3, swx - 3
-    xq = jnp.clip(lx, 1.0, swx - 2.001)
-    yq = jnp.clip(ly, 1.0, swy - 2.001)
-    zq = jnp.clip(lz, 1.0, swz - 2.001)
+    # _below, not -2.001: a sample in (swx-2.001, swx-2) passes the caller's
+    # integer window-exit test (floor <= swx-3) and must evaluate at its
+    # exact fractional part to keep the documented bit-identity with the
+    # global path (advisor round 4).
+    xq = jnp.clip(lx, 1.0, _below(swx - 2))
+    yq = jnp.clip(ly, 1.0, _below(swy - 2))
+    zq = jnp.clip(lz, 1.0, _below(swz - 2))
     xi = jnp.floor(xq).astype(jnp.int32)
     yi = jnp.floor(yq).astype(jnp.int32)
     zi = jnp.floor(zq).astype(jnp.int32)
@@ -363,9 +382,9 @@ def _tricubic_eval_impl(coeff, xs, ys, zs):
         | (xs >= dx - 2) | (ys >= dy - 2) | (zs >= dz - 2)
         | jnp.isnan(xs) | jnp.isnan(ys) | jnp.isnan(zs)
     )
-    xq = jnp.clip(xs, 1.0, dx - 2.001)
-    yq = jnp.clip(ys, 1.0, dy - 2.001)
-    zq = jnp.clip(zs, 1.0, dz - 2.001)
+    xq = jnp.clip(xs, 1.0, _below(dx - 2))
+    yq = jnp.clip(ys, 1.0, _below(dy - 2))
+    zq = jnp.clip(zs, 1.0, _below(dz - 2))
     xi = jnp.floor(xq).astype(jnp.int32)
     yi = jnp.floor(yq).astype(jnp.int32)
     zi = jnp.floor(zq).astype(jnp.int32)

@@ -39,15 +39,6 @@ from ..utils.precision import highest_precision
 
 IMG_BORDER = 1  # oc_sift.h:22
 
-# Histogram-contraction operand dtype: bf16 runs natively on the MXU; the
-# operands are tent/barycentric weights whose 0.4%-per-product rounding
-# averages out over the ~1e5-voxel descriptor sums.  Set
-# OPENCORR_SIFT3D_HIST_F32=1 to force f32 operands (A/B / debugging).
-import os as _os
-
-_HIST_DTYPE = (jnp.float32 if _os.environ.get("OPENCORR_SIFT3D_HIST_F32")
-               else jnp.bfloat16)
-
 # Icosahedron triangle tiles (oc_sift.cpp:209-232): vertex indices and vertex
 # coordinates per triangle.
 _T = 0.5257311
@@ -348,7 +339,7 @@ def _sphere_crop(r, scale, unit_xyz):
                  (unit_xyz[2], unit_xyz[1], unit_xyz[0]))
 
 
-@functools.partial(jax.jit, static_argnames=("parts", "crop"))
+@functools.partial(jax.jit, static_argnames=("parts", "crop", "hist_bf16"))
 @highest_precision
 def construct_descriptor(
     win: jnp.ndarray,  # [K, s, s, s]
@@ -365,6 +356,7 @@ def construct_descriptor(
     truncate: jnp.ndarray,
     parts: str = "full",
     crop=None,
+    hist_bf16: bool = False,
 ):
     """Returns [K, 768] descriptors (constructDescriptor, oc_sift.cpp:1051-1250).
 
@@ -379,7 +371,17 @@ def construct_descriptor(
     shell statically removes ~40% of the per-voxel work with identical
     results up to f32 summation order (the callers compute the bound from
     the STATIC layer scale; every cropped voxel has dist > sphere_radius
-    and thus contributed exactly zero)."""
+    and thus contributed exactly zero).  The crop box is centered on the
+    KEYPOINT's position inside the window (xi - x0, ...), not the window
+    center: near-border keypoints sit off-center in their edge-clamped
+    window, and a fixed center crop would discard in-sphere, in-volume
+    voxels with nonzero weight (advisor round 4).
+
+    ``hist_bf16``: run the histogram contraction with bf16 operands (f32
+    accumulate) — ~2x MXU rate, ~0.4%-per-product rounding that averages
+    out over the ~1e5-voxel sums.  Default False: the reference's
+    descriptors are f32 (CLAUDE.md numerics convention), so bf16 is an
+    explicit opt-in (SIFT3D(hist_bf16=True))."""
     f32 = jnp.float32
     k = xi.shape[0]
     s = win.shape[1]
@@ -432,13 +434,25 @@ def construct_descriptor(
 
     if crop is not None:
         caz, cay, cax = crop
-        r0 = s // 2
-        sl = lambda a: a[:, r0 - caz:r0 + caz + 1, r0 - cay:r0 + cay + 1,
-                         r0 - cax:r0 + cax + 1]
+        csz = (2 * caz + 1, 2 * cay + 1, 2 * cax + 1)
+        # Per-keypoint crop start, centered on the keypoint WITHIN the
+        # window and clipped into it.  Coverage: an in-volume voxel with
+        # nonzero weight has per-axis offset |o| <= ca from the keypoint
+        # and window coord >= 0, and the clipped [c0, c0+2ca] box contains
+        # every such coord (c0 = kp - ca when unclipped; when clipped the
+        # keypoint is within ca of the window edge and the box reaches it).
+        cz0 = jnp.clip(zi - z0 - caz, 0, s - csz[0])
+        cy0 = jnp.clip(yi - y0 - cay, 0, s - csz[1])
+        cx0 = jnp.clip(xi - x0 - cax, 0, s - csz[2])
+
+        def sl(a):
+            return jax.vmap(lambda w, cz, cy, cx: jax.lax.dynamic_slice(
+                w, (cz, cy, cx), csz))(a, cz0, cy0, cx0)
+
         ggx, ggy, ggz = sl(ggx), sl(ggy), sl(ggz)
         sub_x, sub_y, sub_z = sl(sub_x), sl(sub_y), sl(sub_z)
         valid = sl(valid)
-        v = (2 * caz + 1) * (2 * cay + 1) * (2 * cax + 1)
+        v = csz[0] * csz[1] * csz[2]
 
     # --- slab-scanned histogram ---------------------------------------------
     # Everything per-voxel from here on (gradient magnitude, icosahedron
@@ -565,12 +579,9 @@ def construct_descriptor(
             cheap = (jnp.sum(cube_w, 1)[:, None, :]
                      + jnp.sum(vert_w, 1)[:, :, None])
             return acc + cheap * 1e-20, None
-        # bf16 operands (f32 accumulation): the inputs are tent/barycentric
-        # weights and gradient magnitudes — 8-bit mantissa rounding is
-        # ~0.4% per product and averages out over the ~1e5-voxel sums,
-        # while the MXU runs bf16 natively (OPENCORR_SIFT3D_HIST_F32=1
-        # forces f32 operands for A/B)
-        hd = _HIST_DTYPE
+        # operand dtype: f32 by default (reference parity); bf16 opt-in
+        # (see docstring)
+        hd = jnp.bfloat16 if hist_bf16 else f32
         return acc + jnp.einsum("kvj,kvc->kjc", vert_w.astype(hd),
                                 cube_w.astype(hd),
                                 preferred_element_type=f32), None
@@ -659,9 +670,10 @@ def orient_keypoints(vol, xi, yi, zi, ok_in, scale, units, grad_threshold,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("r", "chunk", "parts", "crop"))
+                   static_argnames=("r", "chunk", "parts", "crop",
+                                    "hist_bf16"))
 def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
-                       r, chunk, parts="full", crop=None):
+                       r, chunk, parts="full", crop=None, hist_bf16=False):
     """Device window gather + construct_descriptor, streamed in chunks.
     All-padding chunks (front-compacted survivors, see orient_keypoints)
     skip the descriptor pipeline via lax.cond.  Returns desc [K, 768]."""
@@ -677,7 +689,8 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
             win, x0, y0, z0 = _gather_windows_3d(vol, xc, yc, zc, r)
             return construct_descriptor(win, x0, y0, z0, xc, yc, zc, dims,
                                         rc, scale, units, truncate,
-                                        parts=parts, crop=crop)
+                                        parts=parts, crop=crop,
+                                        hist_bf16=hist_bf16)
 
         def dead(_):
             return jnp.zeros((xc.shape[0], 768), jnp.float32)
@@ -689,7 +702,8 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "sigmas", "unit_xyz", "downsample_to", "layer_params", "seed_layer"))
+    "sigmas", "unit_xyz", "downsample_to", "layer_params", "seed_layer",
+    "hist_bf16"))
 def octave_features(
     seed: jnp.ndarray,
     alpha: jnp.ndarray,
@@ -703,6 +717,7 @@ def octave_features(
     downsample_to,
     layer_params,
     seed_layer: int,
+    hist_bf16: bool = False,
 ):
     """An octave's ENTIRE feature path as one program: downsample + blur
     chain + DoGs + per-layer extrema compaction, orientation, survivor
@@ -745,7 +760,7 @@ def octave_features(
         xd, yd, zd, rotd, okd = compact_gather(ok, x, y, z, rot, k_cap=k_d)
         desc = describe_keypoints(
             g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
-            truncate, r=r_d, chunk=chunk_d, crop=crop)
+            truncate, r=r_d, chunk=chunk_d, crop=crop, hist_bf16=hist_bf16)
         outs.append((xd, yd, zd, okd, desc))
     return g[seed_layer], tuple(outs)
 
