@@ -395,8 +395,13 @@ class FeatureAffine3D:
 
     def __init__(self, radius_x: int, radius_y: int, radius_z: int,
                  k_cap: int = 128, seed: int = 0,
-                 chunk_size: Optional[int] = 8192,
+                 chunk_size: Optional[int] = 131072,
                  neighbor_backend: str = "host"):
+        # chunk_size covers the full Torus queue (78.7k POIs) in ONE
+        # program: at 8192 the stage was dispatch-bound (10 chunks x ~28 ms
+        # against a ~60 us kernel — round-4 slope measurement); the
+        # worst-case [N, T, kc] RANSAC tensors at 131072 POIs are ~0.6 GB,
+        # well inside HBM next to the CT volumes.
         self.neighbor_search_radius = float(
             np.sqrt(radius_x**2 + radius_y**2 + radius_z**2))
         self.neighbor_number_min = 16

@@ -75,14 +75,20 @@ def _blur(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
 def _compact(mask: jnp.ndarray, k: int):
     """Indices of the first k set elements of ``mask`` in scan order.
 
-    Cumsum + scatter (O(n)); returns (idx [k] int32, ok [k] bool)."""
+    Cumsum + vectorized binary search: slot i holds the index of the
+    (i+1)-th set bit, i.e. the first position whose inclusive cumsum
+    reaches i+1.  The previous cumsum+scatter formulation paid an
+    n-element scatter (~0.8 s per 153M-voxel DoG layer on v5e — XLA TPU
+    scatters serialize); searchsorted lowers to ~log2(n) gather rounds
+    over the k queries (~1e6 gathers at CT scale).  Returns
+    (idx [k] int32, ok [k] bool); slots past the population count carry a
+    clamped in-range index and ok=False."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(mask, pos, k)  # overflow rows dropped by scatter mode
-    out = jnp.zeros(k, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    count = jnp.where(mask.any(), pos[-1] + 1, 0)
-    ok = jnp.arange(k) < count
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    idx = jnp.searchsorted(
+        cs, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+    out = jnp.minimum(idx, n - 1).astype(jnp.int32)
+    ok = jnp.arange(k) < cs[-1]
     return out, ok
 
 

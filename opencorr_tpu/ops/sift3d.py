@@ -274,9 +274,13 @@ def assign_orientation(
     weight = jnp.exp(-0.5 * (dist / sigma_w) ** 2) * sphere * inb
 
     # central-difference gradients w.r.t. physical coordinates
-    gxv = 0.5 * (_sh(win, 0, 0, 1) - _sh(win, 0, 0, -1)) / units[0]
-    gyv = 0.5 * (_sh(win, 0, 1, 0) - _sh(win, 0, -1, 0)) / units[1]
-    gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2]
+    # (0.5 (I[k+1] - I[k-1]), oc_sift.cpp:905-907; note _sh(+1)[x] = win[x-1],
+    # so the POSITIVE-side sample comes from the -1 shift — round-4 had the
+    # operands swapped, negating every gradient: self-consistent for
+    # matching, but the reference's orientation/descriptor sign convention)
+    gxv = 0.5 * (_sh(win, 0, 0, -1) - _sh(win, 0, 0, 1)) / units[0]
+    gyv = 0.5 * (_sh(win, 0, -1, 0) - _sh(win, 0, 1, 0)) / units[1]
+    gzv = 0.5 * (_sh(win, -1, 0, 0) - _sh(win, 1, 0, 0)) / units[2]
 
     axes = (1, 2, 3)
     st = jnp.stack(
@@ -427,9 +431,11 @@ def construct_descriptor(
         & (sub_y < 3.5) & (sub_z > -0.5) & (sub_z < 3.5)
 
     weight = jnp.exp(-0.5 * (dist / sigma) ** 2)
-    gxv = 0.5 * (_sh(win, 0, 0, 1) - _sh(win, 0, 0, -1)) / units[0] * weight
-    gyv = 0.5 * (_sh(win, 0, 1, 0) - _sh(win, 0, -1, 0)) / units[1] * weight
-    gzv = 0.5 * (_sh(win, 1, 0, 0) - _sh(win, -1, 0, 0)) / units[2] * weight
+    # same +0.5 (I[k+1] - I[k-1]) convention as oc_sift.cpp:1131-1133
+    # (see assign_orientation for the _sh sign note)
+    gxv = 0.5 * (_sh(win, 0, 0, -1) - _sh(win, 0, 0, 1)) / units[0] * weight
+    gyv = 0.5 * (_sh(win, 0, -1, 0) - _sh(win, 0, 1, 0)) / units[1] * weight
+    gzv = 0.5 * (_sh(win, -1, 0, 0) - _sh(win, 1, 0, 0)) / units[2] * weight
     ggx, ggy, ggz = rotate(rot, gxv, gyv, gzv)
 
     if crop is not None:
@@ -701,6 +707,38 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
     return desc.reshape(-1, 768)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("crop", "scale", "unit_xyz", "chunk",
+                                    "interpret"))
+def describe_keypoints_fused(vol, xi, yi, zi, ok_in, rot, truncate, *,
+                             crop, scale, unit_xyz, chunk, interpret=False):
+    """Chunked driver for the fused Pallas descriptor kernel
+    (ops/pallas_desc.construct_descriptor_fused): same cond-skip chunking
+    as describe_keypoints, ~f32-ulp-identical output (3e-8 measured vs the
+    einsum path), one MXU row per voxel instead of two plus ~1.5 TB of HBM
+    intermediates at Torus scale."""
+    from . import pallas_desc
+
+    nch = max(xi.shape[0] // chunk, 1)
+    ch = lambda a: a.reshape(nch, -1, *a.shape[1:])
+
+    def body(args):
+        xc, yc, zc, okc, rc = args
+
+        def live(_):
+            return pallas_desc.construct_descriptor_fused(
+                vol, xc, yc, zc, rc, truncate, crop=crop, scale=scale,
+                unit_xyz=unit_xyz, interpret=interpret)
+
+        def dead(_):
+            return jnp.zeros((xc.shape[0], 768), jnp.float32)
+
+        return jax.lax.cond(jnp.any(okc), live, dead, None)
+
+    desc = jax.lax.map(body, (ch(xi), ch(yi), ch(zi), ch(ok_in), ch(rot)))
+    return desc.reshape(-1, 768)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sigmas", "unit_xyz", "downsample_to", "layer_params", "seed_layer",
     "hist_bf16"))
@@ -748,6 +786,7 @@ def octave_features(
     max_abs = [jnp.max(jnp.abs(d)) for d in dogs]
 
     units_arr = jnp.asarray(np.array(unit_xyz, np.float32))
+    interp = jax.default_backend() != "tpu"
     outs = []
     for (n, k_e, r_o, chunk_o, k_d, r_d, chunk_d, scale) in layer_params:
         crop = _sphere_crop(r_d, scale, unit_xyz)
@@ -758,9 +797,21 @@ def octave_features(
             grad_threshold, beta, gamma, r=r_o, chunk=chunk_o)
         ok = ok & ok2
         xd, yd, zd, rotd, okd = compact_gather(ok, x, y, z, rot, k_cap=k_d)
-        desc = describe_keypoints(
-            g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
-            truncate, r=r_d, chunk=chunk_d, crop=crop, hist_bf16=hist_bf16)
+        # fused Pallas kernel whenever its crop+gradient-margin window fits
+        # the layer (every production-sized layer); tiny top-octave layers
+        # keep the einsum path's clamped-window semantics
+        fits = all(2 * (c + 1) + 1 <= d
+                   for c, d in zip(crop, g[n].shape))
+        if fits and not hist_bf16:
+            desc = describe_keypoints_fused(
+                g[n], xd, yd, zd, okd, rotd, truncate, crop=crop,
+                scale=scale, unit_xyz=unit_xyz, chunk=chunk_d,
+                interpret=interp)
+        else:
+            desc = describe_keypoints(
+                g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
+                truncate, r=r_d, chunk=chunk_d, crop=crop,
+                hist_bf16=hist_bf16)
         outs.append((xd, yd, zd, okd, desc))
     return g[seed_layer], tuple(outs)
 

@@ -120,3 +120,73 @@ def test_bidirectional_vs_mono_many_to_one():
     # the unambiguous pairs survive in both modes
     assert len(mk1) >= n - 3
     assert len(b1) >= n - 4
+
+
+def test_fused_descriptor_parity():
+    """The fused Pallas descriptor (argmax-face barycentric, deferred
+    vertex binning, separable weights) must match the exact einsum path at
+    f32-ulp level, including near-border keypoints off-center in their
+    edge-clamped windows (oc_sift.cpp:1051-1250 semantics)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from opencorr_tpu.ops import pallas_desc as pd
+    from opencorr_tpu.ops import sift3d as ops3d
+
+    rng = np.random.default_rng(42)
+    dz, dy, dx = 40, 44, 48
+    vol = jnp.asarray(np.float32(128 + 40 * rng.standard_normal((dz, dy, dx))))
+    xi = np.array([24, 5, 45, 24, 2, 24, 30, 46], np.int32)
+    yi = np.array([22, 22, 22, 3, 41, 22, 20, 2], np.int32)
+    zi = np.array([20, 20, 20, 20, 20, 2, 37, 38], np.int32)
+    rots = []
+    for _ in range(len(xi)):
+        a = rng.standard_normal(3)
+        a /= np.linalg.norm(a)
+        b = rng.standard_normal(3)
+        b -= (b @ a) * a
+        b /= np.linalg.norm(b)
+        rots.append(np.stack([a, b, np.cross(a, b)]))
+    rot = jnp.asarray(np.float32(rots))
+    scale, units = 1.0, (1.0, 1.0, 1.0)
+    trunc = jnp.float32(0.2 * 128 / 768)
+    r_desc = 16
+    crop = ops3d._sphere_crop(r_desc, scale, units)
+    dims = jnp.asarray(np.array([dx, dy, dz], np.int32))
+    win, x0, y0, z0 = ops3d._gather_windows_3d(
+        vol, jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(zi), r_desc)
+    de = np.asarray(ops3d.construct_descriptor(
+        win, x0, y0, z0, jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(zi),
+        dims, rot, jnp.float32(scale), jnp.asarray(np.float32(units)),
+        trunc, crop=crop))
+    df = np.asarray(pd.construct_descriptor_fused(
+        vol, jnp.asarray(xi), jnp.asarray(yi), jnp.asarray(zi), rot, trunc,
+        crop=crop, scale=scale, unit_xyz=units, interpret=True))
+    assert np.abs(de - df).max() < 1e-6
+    assert np.allclose(np.linalg.norm(df, axis=1), 1.0, atol=1e-5)
+
+
+def test_gradient_sign_matches_reference():
+    """Orientation/descriptor gradients are +0.5 (I[k+1] - I[k-1])
+    (oc_sift.cpp:905-907): a pure x-ramp volume must produce a dominant
+    gradient along +x (round-4 had the _sh operands swapped, negating every
+    gradient)."""
+    import jax.numpy as jnp
+
+    from opencorr_tpu.ops import sift3d as ops3d
+
+    s = 17
+    ramp = np.broadcast_to(
+        np.arange(s, dtype=np.float32), (s, s, s)).copy()
+    win = jnp.asarray(ramp[None])
+    zero = jnp.zeros((1,), jnp.int32)
+    c = jnp.full((1,), s // 2, jnp.int32)
+    dims = jnp.asarray(np.array([s, s, s], np.int32))
+    rot, ok = ops3d.assign_orientation(
+        win, zero, zero, zero, c, c, c, dims, jnp.float32(1.0),
+        jnp.asarray(np.float32([1, 1, 1])), jnp.float32(1e-10),
+        jnp.float32(0.9), jnp.float32(0.0))
+    # d_vec ~ +x, so the first rotation row (dominant eigvec signed toward
+    # d_vec) must have positive x component
+    assert float(rot[0, 0, 0]) > 0.5
