@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data import poi as poi_mod
+from ..models import base as model_base
 from ..ops import bspline, gradient, icgn as icgn_ops
 
 
@@ -55,8 +56,15 @@ def partition_pois_z(table: poi_mod.POITable3D, n_blocks: int, dim_z: int):
     """Host-side: assign each POI to the z-block containing it, pad every
     block's queue to the max count (replicating the first POI with a poisoned
     status so padding never computes), and return the stacked [n_blocks, Np]
-    table plus the scatter indices to restore original order."""
-    z = np.asarray(table.z)
+    table plus the scatter indices to restore original order.
+
+    POI z-coordinates come from the host-hint registry (new_table_3d
+    registers them): only an ad-hoc table without hints pays one readback,
+    which is then registered so it happens at most once."""
+    z = model_base.host_hint(table.z)
+    if z is None:
+        z = np.asarray(table.z)
+        model_base.register_host_hint(table.z, z)
     bz = dim_z // n_blocks
     owner = np.clip((z // bz).astype(np.int64), 0, n_blocks - 1)
     order = np.argsort(owner, kind="stable")
@@ -77,11 +85,13 @@ def partition_pois_z(table: poi_mod.POITable3D, n_blocks: int, dim_z: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rx", "ry", "rz", "halo", "mesh_axis", "mesh"),
+    static_argnames=("rx", "ry", "rz", "halo", "mesh_axis", "mesh",
+                     "window_margin", "eval_mode"),
 )
 def _sharded_icgn3d(
     ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid, conv, max_iter,
-    *, rx, ry, rz, halo, mesh_axis, mesh,
+    *, rx, ry, rz, halo, mesh_axis, mesh, window_margin=None,
+    eval_mode="tile",
 ):
 
     def block_fn(ref_blk, tar_blk, xs_b, ys_b, zs_b, p_b, z_b, ok_b):
@@ -118,6 +128,7 @@ def _sharded_icgn3d(
         out = icgn_ops.icgn3d1(
             gx, gy, gz, ref_ext, coeff, xs_b, ys_b, z_local, p_b, zin,
             conv, max_iter, rx=rx, ry=ry, rz=rz,
+            window_margin=window_margin, eval_mode=eval_mode,
             z_guard_lo=zlo, z_guard_hi=zhi,
         )
         return tuple(o[None] for o in out[:6])
@@ -128,8 +139,44 @@ def _sharded_icgn3d(
         in_specs=(P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis),
                   P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis)),
         out_specs=P(mesh_axis),
+        # the lattice path's pallas_call has no vma annotation on its
+        # out_shape; every output here is per-block anyway
+        check_vma=False,
     )
     return fn(ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid)
+
+
+@jax.jit
+def _gather_queue(table_x, table_y, table_z, table_p, table_r, idx, valid):
+    """Device-side block-queue gather (idx [B, Np] into the original order)."""
+    g = lambda a: a[idx]
+    return (g(table_x), g(table_y), g(table_z), g(table_p),
+            g(table_r[:, poi_mod.R3_ZNCC]), valid)
+
+
+@functools.partial(jax.jit, static_argnames=("rz", "dim_z"))
+def _scatter_back(p_old, r_old, z_all, p_out, u0, v0, w0, zncc, it,
+                  idx, valid, *, rz, dim_z):
+    """Scatter block results to original queue order ON DEVICE, then
+    re-impose the reference's global z-edge guard (oc_icgn.cpp:1279) —
+    the per-block guard cannot see the global boundary (the ring halo
+    wraps).  Padding rows scatter to an out-of-range target (mode=drop)."""
+    n = p_old.shape[0]
+    flat_idx = idx.reshape(-1)
+    tgt = jnp.where(valid.reshape(-1), flat_idx, n)
+    p_new = p_old.at[tgt].set(p_out.reshape(-1, 12), mode="drop")
+    r_new = r_old
+    for col, vals in ((poi_mod.R3_U0, u0), (poi_mod.R3_V0, v0),
+                      (poi_mod.R3_W0, w0), (poi_mod.R3_ZNCC, zncc),
+                      (poi_mod.R3_ITER, it)):
+        r_new = r_new.at[tgt, col].set(vals.reshape(-1), mode="drop")
+    bad = (z_all - rz < 0) | (z_all + rz > dim_z - 1)
+    zncc_in = r_old[:, poi_mod.R3_ZNCC]
+    r_new = r_new.at[:, poi_mod.R3_ZNCC].set(jnp.where(
+        bad, jnp.where(zncc_in >= 0, jnp.float32(-3.0), zncc_in),
+        r_new[:, poi_mod.R3_ZNCC]))
+    p_new = jnp.where(bad[:, None], p_old, p_new)
+    return p_new, r_new
 
 
 class ShardedICGN3D1:
@@ -138,17 +185,38 @@ class ShardedICGN3D1:
     Usage mirrors ICGN3D1 but compute() takes the mesh. The volume z-dimension
     must divide the mesh size. Each POI is refined by the device owning its
     z-block; results are gathered back into the original queue order.
+
+    ``window_margin``/``eval_mode`` select the same windowed/lattice kernels
+    as the single-chip ICGN3D1 (gather-free Pallas lattice by default — the
+    CT-scale path; round 4 left the sharded path on the global gather eval,
+    ~170x slower per chip at CT scale).  The halo (rz + max(9, margin+1))
+    keeps a POI's coefficient window (half-extent r+margin around its
+    seeded center) inside the extended block for seeds within ~1 voxel of
+    the block edge; larger seed displacements read edge-clipped windows
+    exactly like the single-chip path does at the volume edge (subset
+    still covered, GN drift slack reduced), and genuine window exits fail
+    -3.  compute() is device-resident end to end: POI partitioning uses
+    the host-hint registry (utils/hosthints) and the queue gather/result
+    scatter run as jitted device programs — no np.asarray in the path
+    (the round-2/3 finding: any readback flips the dispatch session into
+    polled mode).
     """
 
     def __init__(self, subset_radius_x: int, subset_radius_y: int,
                  subset_radius_z: int, conv_criterion: float = 0.001,
-                 stop_condition: float = 10):
+                 stop_condition: float = 10,
+                 window_margin=8, eval_mode: str = "lattice"):
         self.rx = int(subset_radius_x)
         self.ry = int(subset_radius_y)
         self.rz = int(subset_radius_z)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
-        self.halo = self.rz + 2 + 7
+        self.window_margin = window_margin
+        self.eval_mode = eval_mode
+        # rz + 2 covers the gradient stencil, +7 the prefilter taps;
+        # rz + margin + 1 fits seeded windows (see class docstring)
+        margin = 0 if window_margin is None else int(window_margin)
+        self.halo = self.rz + max(2 + 7, margin + 1)
         self.ref_vol = None
         self.tar_vol = None
 
@@ -159,53 +227,40 @@ class ShardedICGN3D1:
     def compute(self, table: poi_mod.POITable3D, mesh: Mesh,
                 axis: str = "z") -> poi_mod.POITable3D:
         n_dev = mesh.devices.size
-        dim_z = self.ref_vol.shape[0]
+        dim_z, dim_y, dim_x = self.ref_vol.shape
         if dim_z % n_dev:
             raise ValueError(
                 f"volume z={dim_z} not divisible by mesh size {n_dev}")
         if dim_z // n_dev < self.halo:
             raise ValueError("block smaller than halo; use fewer devices")
+        margin = self.window_margin
+        if margin is not None:
+            # same small-volume guard as models/icgn.ICGN3D1: the windowed
+            # slice must fit the EXTENDED block on every axis
+            bz_ext = dim_z // n_dev + 2 * self.halo
+            if (min(dim_x - 2 * self.rx, dim_y - 2 * self.ry,
+                    bz_ext - 2 * self.rz) - 1 < 2 * margin):
+                margin = None
 
         idx, valid, owner, bz = partition_pois_z(table, n_dev, dim_z)
-        gather = lambda a: jnp.asarray(np.asarray(a)[idx])
 
         vol_sh = NamedSharding(mesh, P(axis))
         ref_d = jax.device_put(jnp.asarray(self.ref_vol), vol_sh)
         tar_d = jax.device_put(jnp.asarray(self.tar_vol), vol_sh)
 
+        idx_d = jnp.asarray(idx)
+        valid_d = jnp.asarray(valid)
+        xs, ys, zs, ps, zncc_in, val = _gather_queue(
+            table.x, table.y, table.z, table.p, table.r, idx_d, valid_d)
         outs = _sharded_icgn3d(
-            ref_d, tar_d,
-            gather(table.x), gather(table.y), gather(table.z),
-            gather(table.p), gather(table.r[:, poi_mod.R3_ZNCC]),
-            jnp.asarray(valid),
+            ref_d, tar_d, xs, ys, zs, ps, zncc_in, val,
             jnp.float32(self.conv_criterion), jnp.float32(self.stop_condition),
             rx=self.rx, ry=self.ry, rz=self.rz, halo=self.halo,
             mesh_axis=axis, mesh=mesh,
+            window_margin=margin, eval_mode=self.eval_mode,
         )
-        p_out, u0, v0, w0, zncc, it = (np.asarray(o) for o in outs)
-
-        # scatter back to original order
-        n = table.n
-        flat_idx = idx.reshape(-1)
-        flat_valid = valid.reshape(-1)
-        p_new = np.asarray(table.p).copy()
-        r_new = np.asarray(table.r).copy()
-        sel = flat_valid
-        tgt = flat_idx[sel]
-        p_new[tgt] = p_out.reshape(-1, 12)[sel]
-        r_new[tgt, poi_mod.R3_U0] = u0.reshape(-1)[sel]
-        r_new[tgt, poi_mod.R3_V0] = v0.reshape(-1)[sel]
-        r_new[tgt, poi_mod.R3_W0] = w0.reshape(-1)[sel]
-        r_new[tgt, poi_mod.R3_ZNCC] = zncc.reshape(-1)[sel]
-        r_new[tgt, poi_mod.R3_ITER] = it.reshape(-1)[sel]
-
-        # The per-block z guard cannot see the global volume boundary (the
-        # ring halo wraps); re-impose the reference's guard (oc_icgn.cpp:1279)
-        # for POIs whose subset crosses the global z edge.
-        z_np = np.asarray(table.z)
-        zncc_in_np = np.asarray(table.r)[:, poi_mod.R3_ZNCC]
-        bad = (z_np - self.rz < 0) | (z_np + self.rz > dim_z - 1)
-        r_new[bad, poi_mod.R3_ZNCC] = np.where(
-            zncc_in_np[bad] >= 0, -3.0, zncc_in_np[bad])
-        p_new[bad] = np.asarray(table.p)[bad]
-        return table.replace(p=jnp.asarray(p_new), r=jnp.asarray(r_new))
+        p_out, u0, v0, w0, zncc, it = outs
+        p_new, r_new = _scatter_back(
+            table.p, table.r, table.z, p_out, u0, v0, w0, zncc, it,
+            idx_d, valid_d, rz=self.rz, dim_z=dim_z)
+        return table.replace(p=p_new, r=r_new)

@@ -94,3 +94,33 @@ def test_sharded_global_boundary_guard(speckle_pair_3d):
     assert z[0] == -3.0  # subset crosses global z edge
     assert abs(z[1] - float(base.zncc[1])) < 1e-3
     assert abs(float(out.u[1]) - float(base.u[1])) < 1e-3
+
+
+def test_sharded_lattice_fallback_matches_single(speckle_pair_3d):
+    """A high-strain seed (|exx| > D/r) overflows the lattice wobble bound,
+    so the sharded lattice path must take its in-program exact fallback —
+    and still match the single-chip result (which falls back the same way)."""
+    ref, tar, tu, tv, tw = speckle_pair_3d
+    r = 3
+    t = oc.new_table_3d([20.0, 24.0], [20.0, 24.0], [20.0, 28.0])
+    p = np.zeros((2, 12), np.float32)
+    p[:, 0], p[:, 4], p[:, 8] = round(tu), round(tv), round(tw)
+    p[0, 1] = 0.6  # uxx: lattice deviation 0.6*r ~ 1.8 > D=1 -> fallback
+    t = t.replace(p=p)
+
+    single = oc.ICGN3D1(r, r, r, 0.001, 10)
+    single.set_images(ref, tar)
+    single.prepare()
+    base = single.compute(t)
+
+    mesh = mesh_mod.make_mesh(4, axis="z")
+    m = halo_mod.ShardedICGN3D1(r, r, r, 0.001, 10)
+    m.set_images(ref, tar)
+    assert m.eval_mode == "lattice" and m.window_margin == 8
+    out = m.compute(t, mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(out.zncc), np.asarray(base.zncc), atol=1e-5)
+    for f in ("u", "v", "w"):
+        np.testing.assert_allclose(np.asarray(getattr(out, f)),
+                                   np.asarray(getattr(base, f)), atol=1e-3)
