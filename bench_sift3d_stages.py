@@ -137,7 +137,8 @@ def run_stage(stage, k):
                     flat += [e[1], e[2], e[3], e[4]]
                 bufs = (g[1], g[2], g[3], *flat)
             elif stage.startswith("desc"):
-                parts = {"desc": "full", "desc_nobary": "nobary",
+                parts = {"desc": "full", "desc_fused": "fused",
+                         "desc_nobary": "nobary",
                          "desc_noein": "noein"}[stage]
                 surv = []
                 for (n, x, y, z, ok, scale) in exts:
@@ -149,6 +150,8 @@ def run_stage(stage, k):
                         ok & ok2, x, y, z, rot, k_cap=k_d)
                     surv.append((n, xd, yd, zd, rotd, okd, scale))
 
+                from opencorr_tpu.ops.sift3d import _sphere_crop
+
                 @jax.jit
                 def step(bias, g1, g2, g3, *sflat):
                     gs = (g1, g2, g3)
@@ -157,10 +160,17 @@ def run_stage(stage, k):
                             [(s[0], s[6]) for s in surv]):
                         xd, yd, zd, rotd, okd = sflat[5 * i: 5 * i + 5]
                         _, _, _, k_d, r_d, chunk_d, _ = layer_param(n)
-                        desc = ops3d.describe_keypoints(
-                            gs[i], xd, yd, zd, okd, rotd,
-                            jnp.float32(scale), units_arr, trunc + bias,
-                            r=r_d, chunk=chunk_d, parts=parts)
+                        if parts == "fused":
+                            crop = _sphere_crop(r_d, scale, units)
+                            desc = ops3d.describe_keypoints_fused(
+                                gs[i], xd, yd, zd, okd, rotd, trunc + bias,
+                                crop=crop, scale=scale,
+                                unit_xyz=units, chunk=chunk_d)
+                        else:
+                            desc = ops3d.describe_keypoints(
+                                gs[i], xd, yd, zd, okd, rotd,
+                                jnp.float32(scale), units_arr, trunc + bias,
+                                r=r_d, chunk=chunk_d, parts=parts)
                         acc = acc + jnp.sum(desc[:, 0] * okd)
                     return acc * 1e-9
 

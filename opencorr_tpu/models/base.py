@@ -200,12 +200,42 @@ class _ChunkPrograms:
         g, tail = (0, k) if group == 1 else divmod(k, group)
         big = list(self.pad(pad, *flat)) if pad else list(flat)
         args = big + list(const_flat)
+        # Chunk-fault canary (env-gated): device-side faults (OOM, bad
+        # kernels) surface only at the NEXT readback, so an unchecked
+        # 158-chunk CT run can silently produce garbage-at-readback.  Every
+        # K chunk programs, read ONE element of the newest result — the
+        # sync surfaces any queued fault as an exception HERE, with the
+        # chunk index, instead of at the final table readback.  Off by
+        # default: in this sandbox a readback flips the session into
+        # polled dispatch mode (CLAUDE.md); enable in production.
+        canary = int(_os.environ.get("OPENCORR_TPU_CANARY_EVERY", "0") or 0)
         outs = []
         for i in range(g):
             outs.append(self.group_run(i * group * chunk, *args))
+            if canary and len(outs) % canary == 0:
+                _canary_check(outs[-1], len(outs))
         for j in range(tail):
             outs.append(self.tail((g * group + j) * chunk, *args))
+            if canary and len(outs) % canary == 0:
+                _canary_check(outs[-1], len(outs))
         return self.cat(n, tuple(outs))
+
+
+def _canary_check(out, n_done: int) -> None:
+    """Force one element of a chunk result to the host; raise with the
+    chunk count if the sync surfaces a device fault or a non-finite value
+    in the first table field (POI coordinates — pass-through, so any
+    non-finite value there means corrupted output, not a failure code)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    try:
+        val = np.asarray(leaf.ravel()[0] if getattr(leaf, "ndim", 0) else leaf)
+    except Exception as e:
+        raise RuntimeError(
+            f"chunk canary: device fault surfaced after {n_done} chunk "
+            f"programs") from e
+    if not np.all(np.isfinite(val)):
+        raise RuntimeError(
+            f"chunk canary: non-finite result after {n_done} chunk programs")
 
 
 _CHUNK_PROGRAMS = collections.OrderedDict()

@@ -267,10 +267,15 @@ class ICGN3D1(base.Module3D):
             s = (2 * rx + 1) * (2 * ry + 1) * (2 * rz + 1)
             if margin is not None and mode == "lattice":
                 # no tile LUT: the working set is the coefficient windows
-                # plus ~16 sample-sized f32 arrays, so chunks can be 2x the
-                # global path's poi*voxel budget (500 POIs at r=16 runs at
-                # Torus volume dims; 1000 faults the v5e — device OOM)
-                chunk = max(8, 18_000_000 // s)
+                # plus ~16 sample-sized f32 arrays.  Budgets are the
+                # round-4/5 empirically-proven compile envelope: r=16
+                # chunks of 500 (18M poi*voxels) compile and run; 1000
+                # wedges the remote compiler (round-5 retest: >500 s,
+                # killed), as does r=30 at 39 POIs (8.9M) — while 32
+                # (7.3M, full al_foam queue 25.2 s) compiles in ~20 s.
+                # Large subsets therefore get the tighter budget.
+                budget = 18_000_000 if s <= 50_000 else 7_300_000
+                chunk = max(8, budget // s)
             elif margin is not None:
                 # tile-LUT budget: each POI's window LUT is
                 # (2(r+margin)-2)^3 * 256 bytes; ~2 GB of LUT per chunk

@@ -698,7 +698,7 @@ def icgn3d1(
                         cwin_p, bz0, by0, bx0)
                     val = lattice_eval(
                         eblk, pdz, pdy, pdx, fz, fy, fx,
-                        d_wobble=D, slab=8, interpret=interp)
+                        d_wobble=D, slab=None, interpret=interp)
                     return jnp.where(oob4, f32(-1.0), val).reshape(n, s)
 
                 def _fallback(_):

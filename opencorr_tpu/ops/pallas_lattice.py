@@ -116,11 +116,32 @@ def _lattice_kernel(eblk_ref, dz_ref, dy_ref, dx_ref, fz_ref, fy_ref,
     out_ref[0] = jax.lax.fori_loop(0, w, oz_body, acc)
 
 
+def _auto_slab(sz, sy, ext_x, npack, w):
+    """Largest z-slab (8, 4, 2, 1) whose estimated VMEM footprint fits the
+    16 MB scoped limit with headroom.  r=16 subsets (33^3) keep slab 8; the
+    al_foam r=30 case (61^3, ext 66) was 256 KB over the limit at 8 and
+    drops to 4."""
+    lanes = npack * ext_x
+    lanepad = -(-lanes // 128) * 128
+    for slab in (8, 4, 2, 1):
+        n_slabs = -(-sz // slab)
+        zfull = n_slabs * slab + w - 1
+        eblk_b = zfull * (sy + w - 1) * (lanes + w - 1) * 4
+        io_b = 7 * slab * sy * lanepad * 4
+        scr_b = 2 * w * slab * sy * lanepad * 4
+        # threshold calibrated on hardware: r=16 (est ~5.1 MB) compiled at
+        # slab 8; r=30 (est ~9.1 MB) measured 16.25 MB scoped (the estimate
+        # excludes in-kernel temporaries), so the cut sits between them
+        if 2 * (eblk_b + io_b) + scr_b < 8 << 20:
+            return slab
+    return 1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("d_wobble", "slab", "npack", "interpret"))
 def lattice_eval(eblk: jnp.ndarray, dz: jnp.ndarray, dy: jnp.ndarray,
                  dx: jnp.ndarray, fz: jnp.ndarray, fy: jnp.ndarray,
-                 fx: jnp.ndarray, *, d_wobble: int = 1, slab: int = 8,
+                 fx: jnp.ndarray, *, d_wobble: int = 1, slab=None,
                  npack: int = 0, interpret: bool = False) -> jnp.ndarray:
     """Evaluate the lattice tricubic sum for every subset sample.
 
@@ -141,6 +162,8 @@ def lattice_eval(eblk: jnp.ndarray, dz: jnp.ndarray, dy: jnp.ndarray,
     assert eblk.shape[1:] == (ext_z, ext_y, ext_x), (eblk.shape,)
     if npack == 0:
         npack = max(1, 128 // ext_x)
+    if slab is None:
+        slab = _auto_slab(sz, sy, ext_x, npack, w)
 
     npad = -n % npack
     if npad:

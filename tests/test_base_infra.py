@@ -93,3 +93,27 @@ def test_budget_chunk():
     c30 = base.budget_chunk(65536, 30, 30)
     assert 1024 <= c30 < 16384
     assert c30 * 61 * 61 <= 40_000_000
+
+
+def test_chunk_canary_detects_corrupt_chunk(monkeypatch):
+    """With OPENCORR_TPU_CANARY_EVERY=1, a chunk whose result carries a
+    non-finite first-field value (the observable of a silent device fault)
+    must raise mid-run with the chunk count, not at the final readback."""
+    monkeypatch.setenv("OPENCORR_TPU_CANARY_EVERY", "1")
+    xs = np.arange(32, dtype=np.float32)
+    table = oc.new_table_2d(xs, xs)
+
+    def run(t):
+        # corrupt exactly the chunk containing x == 20 (chunk 3 of 4)
+        bad = jnp.any((t.x >= 16) & (t.x < 24))
+        return t.replace(x=jnp.where(bad, jnp.float32(np.nan), t.x))
+
+    with pytest.raises(RuntimeError, match="chunk canary.*3 chunk"):
+        base.chunked(run, table, 8)
+
+    # clean runs pass through the canary untouched
+    def ok_run(t):
+        return t.replace(x=t.x + 1.0)
+
+    out = base.chunked(ok_run, table, 8)
+    np.testing.assert_allclose(np.asarray(out.x), xs + 1.0)

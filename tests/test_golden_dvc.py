@@ -135,3 +135,83 @@ def test_dvc_alfoam_dims_synthetic():
     assert np.abs(np.asarray(pois.u)[ok] - du).mean() < 0.02
     assert np.abs(np.asarray(pois.v)[ok] - dv).mean() < 0.02
     assert np.abs(np.asarray(pois.w)[ok] - dw).mean() < 0.02
+
+
+# --- SIFT3D match parity vs the committed matched-keypoint table ----------
+
+MATCH_GOLD = "/root/reference/examples/dvc/Torus_def_matched_kp.csv"
+
+
+def _find_torus_volumes():
+    for d in _CANDIDATE_DIRS:
+        if not d:
+            continue
+        ref = os.path.join(d, "Torus_ref.tif")
+        tar = os.path.join(d, "Torus_def.tif")
+        if os.path.isfile(ref) and os.path.isfile(tar):
+            return ref, tar
+    return None
+
+
+def _match_agreement(mk1, mk2, gold, radius=2.0):
+    """Fraction of golden matches reproduced: a golden row agrees if some
+    computed match has its ref keypoint within ``radius`` voxels AND that
+    match's tar keypoint within ``radius`` of the golden tar point."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(mk1)
+    d, idx = tree.query(gold[:, :3], k=1)
+    near = d <= radius
+    dt = np.linalg.norm(mk2[idx] - gold[:, 3:6], axis=1)
+    return float((near & (dt <= radius)).mean())
+
+
+@pytest.mark.skipif(not os.path.isfile(MATCH_GOLD),
+                    reason="matched-kp golden not mounted")
+def test_sift3d_match_parity_vs_golden():
+    """SIFT3D keypoint/match parity against the reference's committed
+    Torus matched-keypoint table (test_dvc_sift_icgn1.cpp output,
+    oc_sift.cpp:1251-1418 matching)."""
+    found = _find_torus_volumes()
+    if found is None:
+        pytest.skip(
+            "Torus volume pair not present. To enable this golden gate: "
+            "download the DVC image package (~103 MB 7z) from "
+            "https://opencorr.org/Download/ (the URL in "
+            "/root/reference/examples/dvc/Torus_Images.txt), extract "
+            "Torus_ref.tif and Torus_def.tif into a directory, and set "
+            "OPENCORR_DVC_DATA=<that directory>.  The test then runs the "
+            "full SIFT3D pipeline (detect + orient + describe + "
+            "monodirectional match, test_dvc_sift_icgn1.cpp config) and "
+            "gates match count and positions against "
+            "Torus_def_matched_kp.csv.  (The comparison machinery is kept "
+            "green by test_match_agreement_logic below.)")
+    ref_path, tar_path = found
+    gold = np.genfromtxt(MATCH_GOLD, delimiter=",", skip_header=1)
+
+    sift = oc.SIFT3D(pyramid_backend="device")
+    sift.set_images(oc.Image3D.load(ref_path), oc.Image3D.load(tar_path))
+    sift.prepare()
+    sift.compute()
+    mk1, mk2 = sift.ref_matched_kp, sift.tar_matched_kp
+
+    # same order of magnitude of matches as the reference run
+    assert len(mk1) > 0.5 * len(gold)
+    # most golden matches reproduced (keypoint coords are voxel-quantized
+    # per octave, so allow a 2-voxel radius)
+    assert _match_agreement(mk1, mk2, gold) > 0.7
+
+
+def test_match_agreement_logic():
+    """The parity gate's comparison machinery, on synthetic data: exact
+    reproduction scores 1.0; translated tar keypoints score 0."""
+    rng = np.random.default_rng(0)
+    mk1 = rng.uniform(0, 100, (50, 3))
+    mk2 = mk1 + rng.uniform(-1, 1, (50, 3))
+    gold = np.concatenate([mk1, mk2], axis=1)
+    assert _match_agreement(mk1, mk2, gold) == 1.0
+    assert _match_agreement(mk1, mk2 + 25.0, gold) == 0.0
+    # half the matches displaced -> 0.5
+    mk2_bad = mk2.copy()
+    mk2_bad[:25] += 25.0
+    assert _match_agreement(mk1, mk2_bad, gold) == 0.5
