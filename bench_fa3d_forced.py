@@ -1,19 +1,28 @@
-"""Honest FeatureAffine3D timing at the Torus workload (VERDICT round-3
-weak #3: the 3.4 s forced number was first-readback tunnel latency, not the
-stage).
+"""Honest FeatureAffine3D timing at the Torus workload.
 
-Method: the slope estimator from bench_gather_ab.py — enqueue k
-steady-state ``compute()`` passes (the device executes programs in order)
-and force ONE scalar readback; the (k_hi - k_lo)/(k_hi-k_lo) slope across
-two fresh subprocesses cancels warmup, compile and tunnel queue-drain
-constants.  Baseline: 0.511 s CPU (Torus_def_sift_icgn1_r16_time.csv).
+History of the measurement (each round replaced the previous artifact):
+  round 3: 3.4 s "forced" = first-readback tunnel latency, not the stage.
+  round 4: 0.278 s slope across enqueued multi-chunk passes = the
+           sandbox's POLLED QUEUE-DRAIN rate (~30 ms per queued program
+           after the session's first transfer), not device time — proven
+           in round 5 by making the whole 78.7k-POI queue ONE program:
+           the "slope" stayed ~0.3 s/pass while a per-call
+           ``block_until_ready`` (honest for single jitted programs,
+           CLAUDE.md) measures 0.3 ms, and an in-program cumulative bisect
+           of the RANSAC core confirms every stage is sub-ms.
 
-Run: python -u bench_fa3d_forced.py            # orchestrates both ks
-     python -u bench_fa3d_forced.py run K      # one measurement
+Current method: k back-to-back ``compute()`` calls, each blocked to
+completion (one jitted program per call — block is honest there), plus one
+final forced scalar readback whose cost is the tunnel's fixed
+once-per-process transfer flip (~1.7 s here, identical for any stage and
+absent on directly-attached hardware).
+
+Baseline: 0.511 s CPU (Torus_def_sift_icgn1_r16_time.csv).
+
+Run: python -u bench_fa3d_forced.py
 """
 
 import json
-import subprocess
 import sys
 import time
 
@@ -22,7 +31,7 @@ import numpy as np
 BASE_S = 0.510974
 
 
-def run_one(k):
+def main(k=10):
     import jax
     import jax.numpy as jnp
 
@@ -37,44 +46,31 @@ def run_one(k):
     fa = oc.FeatureAffine3D(16, 16, 16)
     fa.set_keypoint_pair(mk1, mk2)
     fa.prepare(pois0, points=pois_xyz[:, :3])
-    out = fa.compute(pois0)  # compile + candidate cache, enqueue only
-    jax.block_until_ready(out.p)
+    out = fa.compute(pois0)  # compile + candidate cache
+    jax.block_until_ready((out.p, out.r))
 
     t0 = time.time()
     for _ in range(k):
         out = fa.compute(pois0)
+        jax.block_until_ready((out.p, out.r))
+    per_call = (time.time() - t0) / k
+
+    t1 = time.time()
+    out = fa.compute(pois0)
     forced = float(np.asarray(jnp.sum(out.p[:, 0])))
-    elapsed = time.time() - t0
-    print(json.dumps({"k": k, "elapsed": round(elapsed, 3),
-                      "forced": round(forced, 3)}), flush=True)
+    forced_s = time.time() - t1
+    seeded = float((np.asarray(out.r[:, 3]) >= 0).mean())
 
-
-def main():
-    per = {}
-    for k in (2, 10):
-        for attempt in range(3):
-            try:
-                out = subprocess.run(
-                    [sys.executable, "-u", __file__, "run", str(k)],
-                    capture_output=True, text=True, timeout=900)
-                lines = [l for l in out.stdout.splitlines()
-                         if l.startswith("{")]
-                if lines:
-                    per.setdefault(k, []).append(
-                        json.loads(lines[-1])["elapsed"])
-            except subprocess.TimeoutExpired:
-                pass
-    if per.get(2) and per.get(10):
-        slope = (min(per[10]) - min(per[2])) / 8.0
-        print(json.dumps({
-            "stage": "FeatureAffine3D_steady", "n_poi": 78700,
-            "per_compute_s": round(slope, 4),
-            "t_k2": min(per[2]), "t_k10": min(per[10]),
-            "vs_baseline": round(BASE_S / max(slope, 1e-9), 1)}), flush=True)
+    print(json.dumps({
+        "stage": "FeatureAffine3D", "n_poi": int(pois0.n), "k": k,
+        "per_compute_blocked_s": round(per_call, 5),
+        "forced_one_s": round(forced_s, 3),
+        "note": "forced_one includes the tunnel's fixed once-per-process "
+                "first-transfer flip (~1.7 s, stage-independent)",
+        "seeded_frac": round(seeded, 4), "checksum": round(forced, 3),
+        "vs_baseline_blocked": round(BASE_S / max(per_call, 1e-9), 1),
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "run":
-        run_one(int(sys.argv[2]))
-    else:
-        main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 10)
