@@ -139,46 +139,53 @@ def _desc_kernel(gx_ref, gy_ref, gz_ref, wz_ref, pz_ref, pz2_ref,
     alpha = jnp.where(okv, mg * (dhat / jnp.maximum(best, f32(1e-30))), 0.0)
     kt, cyx = alpha.shape
 
-    # left operand u [Kt, 60, CYX]: row a*20+t = onehot(face t) * alpha*g_a
-    # (built [Kt, 3, 20, CYX] so the tiled trailing dims stay (20, CYX) —
-    # the (a, t) ordering matches _face_tables' W')
-    ag3 = jnp.concatenate(
-        [(alpha * ggx)[:, None, :], (alpha * ggy)[:, None, :],
-         (alpha * ggz)[:, None, :]], axis=1)  # [Kt, 3, CYX]
-    tio = jax.lax.broadcasted_iota(jnp.int32, (kt, 20, cyx), 1)
-    hit = (idx[:, None, :] == tio).astype(f32)  # [Kt, 20, CYX]
-    u = (ag3[:, :, None, :] * hit[:, None, :, :]).reshape(kt, 60, cyx)
-
-    # trilinear tents with the reference's (int) truncation quirk
-    # (ix truncated toward zero, dfrac from floor; oc_sift.cpp:1184-1199)
-    def tent4(sub):
-        i = sub.astype(jnp.int32)  # trunc toward zero, like the (int) cast
-        dfrac = sub - jnp.floor(sub)
-        cio = jax.lax.broadcasted_iota(jnp.int32, (kt, 4, cyx), 1)
-        ib = i[:, None, :]
-        fb = dfrac[:, None, :]
-        return ((ib == cio).astype(f32) * (1.0 - fb)
-                + (ib == cio - 1).astype(f32) * fb)
-
-    wx4 = tent4(sub_x)  # [Kt, 4, CYX]
-    wy4 = tent4(sub_y)
-    wz4 = tent4(sub_z)
-    # cube weights [Kt, 64, CYX], row (cz*4+cy)*4+cx (same ordering as the
-    # einsum path's cube_w reshape); built (yx)-first so the trailing tile
-    # dims stay (16, CYX) — pad-free
-    wyx16 = (wy4[:, :, None, :] * wx4[:, None, :, :]).reshape(kt, 16, cyx)
-    cw = (wz4[:, :, None, :] * wyx16[:, None, :, :]).reshape(kt, 64, cyx)
-
-    s_tile = jnp.stack(
-        [jax.lax.dot_general(u[k], cw[k], (((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)
-         for k in range(kt)], axis=0)  # [Kt, 60, 64]
-
     @pl.when(first)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += s_tile
+    # Corner (z, yx-tile) steps whose voxels all fall outside the sphere /
+    # cube contribute nothing — skip their operand build and MXU pass (the
+    # crop box is ~1.9x the sphere volume, so a sizable fraction of tiles
+    # is fully dead).
+    @pl.when(jnp.any(okv))
+    def _():
+        # left operand u [Kt, 60, CYX]: row a*20+t = onehot(t) * alpha*g_a
+        # (built [Kt, 3, 20, CYX] so the tiled trailing dims stay
+        # (20, CYX) — the (a, t) ordering matches _face_tables' W')
+        ag3 = jnp.concatenate(
+            [(alpha * ggx)[:, None, :], (alpha * ggy)[:, None, :],
+             (alpha * ggz)[:, None, :]], axis=1)  # [Kt, 3, CYX]
+        tio = jax.lax.broadcasted_iota(jnp.int32, (kt, 20, cyx), 1)
+        hit = (idx[:, None, :] == tio).astype(f32)  # [Kt, 20, CYX]
+        u = (ag3[:, :, None, :] * hit[:, None, :, :]).reshape(kt, 60, cyx)
+
+        # trilinear tents with the reference's (int) truncation quirk
+        # (ix truncated toward zero, dfrac from floor; oc_sift.cpp:1184-99)
+        def tent4(sub):
+            i = sub.astype(jnp.int32)  # trunc, like the (int) cast
+            dfrac = sub - jnp.floor(sub)
+            cio = jax.lax.broadcasted_iota(jnp.int32, (kt, 4, cyx), 1)
+            ib = i[:, None, :]
+            fb = dfrac[:, None, :]
+            return ((ib == cio).astype(f32) * (1.0 - fb)
+                    + (ib == cio - 1).astype(f32) * fb)
+
+        wx4 = tent4(sub_x)  # [Kt, 4, CYX]
+        wy4 = tent4(sub_y)
+        wz4 = tent4(sub_z)
+        # cube weights [Kt, 64, CYX], row (cz*4+cy)*4+cx (same ordering as
+        # the einsum path's cube_w reshape); built (yx)-first so the
+        # trailing tile dims stay (16, CYX) — pad-free
+        wyx16 = (wy4[:, :, None, :] * wx4[:, None, :, :]).reshape(
+            kt, 16, cyx)
+        cw = (wz4[:, :, None, :] * wyx16[:, None, :, :]).reshape(
+            kt, 64, cyx)
+
+        s_tile = jnp.stack(
+            [jax.lax.dot_general(u[k], cw[k], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)
+             for k in range(kt)], axis=0)  # [Kt, 60, 64]
+        out_ref[:] += s_tile
 
 
 def descriptor_hist(gxw, gyw, gzw, wz, pz, pz2, wyx, px, py, pyx2, rot,

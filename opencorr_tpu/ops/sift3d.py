@@ -265,13 +265,20 @@ def assign_orientation(
     px = (xc.astype(f32) - xi.astype(f32)[:, None]) * units[0]  # [K, s]
     py = (yc.astype(f32) - yi.astype(f32)[:, None]) * units[1]
     pz = (zc.astype(f32) - zi.astype(f32)[:, None]) * units[2]
+    # Separable Gaussian: exp(-0.5 d2/s^2) = ex*ey*ez from per-AXIS tables
+    # (O(s) exps instead of O(s^3) — the exp/sqrt per voxel dominated this
+    # stage at CT scale); the sphere test runs on d2, no sqrt.
+    inv2s2 = -0.5 / (sigma_w * sigma_w)
+    ex = jnp.exp(inv2s2 * px * px)
+    ey = jnp.exp(inv2s2 * py * py)
+    ez = jnp.exp(inv2s2 * pz * pz)
     d2 = (
         pz[:, :, None, None] ** 2 + py[:, None, :, None] ** 2
         + px[:, None, None, :] ** 2
     )
-    dist = jnp.sqrt(d2)
-    sphere = dist <= wrad
-    weight = jnp.exp(-0.5 * (dist / sigma_w) ** 2) * sphere * inb
+    sphere = d2 <= wrad * wrad
+    weight = (ez[:, :, None, None] * ey[:, None, :, None]
+              * ex[:, None, None, :]) * sphere * inb
 
     # central-difference gradients w.r.t. physical coordinates
     # (0.5 (I[k+1] - I[k-1]), oc_sift.cpp:905-907; note _sh(+1)[x] = win[x-1],

@@ -248,18 +248,46 @@ class ShardedICGN3D1:
         ref_d = jax.device_put(jnp.asarray(self.ref_vol), vol_sh)
         tar_d = jax.device_put(jnp.asarray(self.tar_vol), vol_sh)
 
+        # Per-device POI chunking, orchestrated on the host like
+        # models/base.chunked (an in-program lax.map would scan-wrap the GN
+        # while_loop — the known device-fault pattern, CLAUDE.md
+        # SCAN_GROUP=1): each dispatch refines [n_dev, chunk] POIs, chunk
+        # sized by the same radius-aware lattice/global budgets as the
+        # single-chip path.
+        s = (2 * self.rx + 1) * (2 * self.ry + 1) * (2 * self.rz + 1)
+        if margin is not None and self.eval_mode == "lattice":
+            budget = 18_000_000 if s <= 50_000 else 7_300_000
+        else:
+            budget = 9_000_000
+        chunk = max(8, budget // s)
+        cap = idx.shape[1]
+        pad = -cap % chunk if cap > chunk else 0
+        if pad:
+            idx = np.pad(idx, ((0, 0), (0, pad)))
+            valid = np.pad(valid, ((0, 0), (0, pad)))
         idx_d = jnp.asarray(idx)
         valid_d = jnp.asarray(valid)
-        xs, ys, zs, ps, zncc_in, val = _gather_queue(
-            table.x, table.y, table.z, table.p, table.r, idx_d, valid_d)
-        outs = _sharded_icgn3d(
-            ref_d, tar_d, xs, ys, zs, ps, zncc_in, val,
-            jnp.float32(self.conv_criterion), jnp.float32(self.stop_condition),
-            rx=self.rx, ry=self.ry, rz=self.rz, halo=self.halo,
-            mesh_axis=axis, mesh=mesh,
-            window_margin=margin, eval_mode=self.eval_mode,
-        )
-        p_out, u0, v0, w0, zncc, it = outs
+
+        parts = []
+        for lo in range(0, idx.shape[1], chunk):
+            idx_c = idx_d[:, lo:lo + chunk]
+            val_c = valid_d[:, lo:lo + chunk]
+            xs, ys, zs, ps, zncc_in, val = _gather_queue(
+                table.x, table.y, table.z, table.p, table.r, idx_c, val_c)
+            parts.append(_sharded_icgn3d(
+                ref_d, tar_d, xs, ys, zs, ps, zncc_in, val,
+                jnp.float32(self.conv_criterion),
+                jnp.float32(self.stop_condition),
+                rx=self.rx, ry=self.ry, rz=self.rz, halo=self.halo,
+                mesh_axis=axis, mesh=mesh,
+                window_margin=margin, eval_mode=self.eval_mode,
+            ))
+        if len(parts) == 1:
+            p_out, u0, v0, w0, zncc, it = parts[0]
+        else:
+            p_out, u0, v0, w0, zncc, it = (
+                jnp.concatenate([p[i] for p in parts], axis=1)
+                for i in range(6))
         p_new, r_new = _scatter_back(
             table.p, table.r, table.z, p_out, u0, v0, w0, zncc, it,
             idx_d, valid_d, rz=self.rz, dim_z=dim_z)
