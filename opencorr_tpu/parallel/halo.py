@@ -84,37 +84,100 @@ def partition_pois_z(table: poi_mod.POITable3D, n_blocks: int, dim_z: int):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("halo", "mesh_axis", "mesh"))
+def _sharded_prepare_ref(ref_vol, *, halo, mesh_axis, mesh):
+    """Sharded reference-side prepare: halo-extended block + gradients.
+    Split from the target-side coefficient program (and from the POI chunk
+    programs) to bound peak HBM — fused together they OOM'd at CT scale
+    (19 GB at mesh=1), and fused into every chunk they also re-ran ~158x
+    per queue.  Outputs are [n_dev, ext_z, Y, X] arrays sharded on their
+    leading axis (each device holds only its own block)."""
+
+    def block_fn(ref_blk):
+        dev = jax.lax.axis_index(mesh_axis)
+        n_dev = jax.lax.axis_size(mesh_axis)
+        bz = ref_blk.shape[0]
+        ref_ext = halo_exchange_z(ref_blk, halo, mesh_axis)
+        gx = gradient.gradient_x_3d(ref_ext)
+        gy = gradient.gradient_y_3d(ref_ext)
+        gz = gradient.gradient_z_3d(ref_ext)
+        # The global gradient_z leaves 2-px zero borders at the volume z
+        # edges (oc_gradient.cpp:143); re-impose them on the edge blocks,
+        # where the clamp-filled halo would otherwise yield a nonzero
+        # stencil result.
+        zidx = jnp.arange(ref_ext.shape[0])[:, None, None]
+        lo_border = (dev == 0) & (zidx >= halo) & (zidx < halo + 2)
+        hi_border = ((dev == n_dev - 1) & (zidx >= halo + bz - 2)
+                     & (zidx < halo + bz))
+        gz = jnp.where(lo_border | hi_border, 0.0, gz)
+        return (gx[None], gy[None], gz[None], ref_ext[None])
+
+    fn = jax.shard_map(
+        block_fn, mesh=mesh,
+        in_specs=(P(mesh_axis),),
+        out_specs=P(mesh_axis), check_vma=False)
+    return fn(ref_vol)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("halo", "mesh_axis", "mesh"))
+def _sharded_extend(vol, *, halo, mesh_axis, mesh):
+    """Halo exchange only -> [n_dev, ext_z, Y, X] sharded on axis 0."""
+
+    def block_fn(blk):
+        return halo_exchange_z(blk, halo, mesh_axis)[None]
+
+    return jax.shard_map(
+        block_fn, mesh=mesh, in_specs=(P(mesh_axis),),
+        out_specs=P(mesh_axis), check_vma=False)(vol)
+
+
+@jax.jit
+def _blocks_prepare_coeff(tar_ext):
+    """Per-block tricubic prefilter as a PLAIN jit on the block-sharded
+    array: the leading axis is sharded per device and the prefilter is
+    block-local, so GSPMD runs it without communication — and XLA schedules
+    it exactly like the proven single-chip prepare.  Inside shard_map the
+    same take-based 15-tap expression kept ~25 full-volume copies live and
+    OOM'd HBM at mesh=1 (18.3 GB for a 615 MB block)."""
+    return jax.vmap(bspline.tricubic_prepare)(tar_ext)
+
+
+def _sharded_prepare_coeff(tar_vol, *, halo, mesh_axis, mesh):
+    return _blocks_prepare_coeff(
+        _sharded_extend(tar_vol, halo=halo, mesh_axis=mesh_axis, mesh=mesh))
+
+
+def _sharded_prepare(ref_vol, tar_vol, *, halo, mesh_axis, mesh):
+    gx, gy, gz, ref_ext = _sharded_prepare_ref(
+        ref_vol, halo=halo, mesh_axis=mesh_axis, mesh=mesh)
+    coeff = _sharded_prepare_coeff(
+        tar_vol, halo=halo, mesh_axis=mesh_axis, mesh=mesh)
+    return gx, gy, gz, ref_ext, coeff
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("rx", "ry", "rz", "halo", "mesh_axis", "mesh",
                      "window_margin", "eval_mode"),
 )
 def _sharded_icgn3d(
-    ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid, conv, max_iter,
+    gx_e, gy_e, gz_e, ref_e, coeff_e, xs, ys, zs, p_in, zncc_in, valid,
+    conv, max_iter,
     *, rx, ry, rz, halo, mesh_axis, mesh, window_margin=None,
     eval_mode="tile",
 ):
 
-    def block_fn(ref_blk, tar_blk, xs_b, ys_b, zs_b, p_b, z_b, ok_b):
-        # drop the leading block axis shard_map leaves on the POI arrays
+    def block_fn(gx_b, gy_b, gz_b, ref_b, coeff_b, xs_b, ys_b, zs_b, p_b,
+                 z_b, ok_b):
+        # drop the leading block axis shard_map leaves on every input
+        gx, gy, gz = gx_b[0], gy_b[0], gz_b[0]
+        ref_ext, coeff = ref_b[0], coeff_b[0]
         xs_b, ys_b, zs_b = xs_b[0], ys_b[0], zs_b[0]
         p_b, z_b, ok_b = p_b[0], z_b[0], ok_b[0]
         dev = jax.lax.axis_index(mesh_axis)
         n_dev = jax.lax.axis_size(mesh_axis)
-        bz = ref_blk.shape[0]
-        ref_ext = halo_exchange_z(ref_blk, halo, mesh_axis)
-        tar_ext = halo_exchange_z(tar_blk, halo, mesh_axis)
-        # local prepare() on the extended block
-        gx = gradient.gradient_x_3d(ref_ext)
-        gy = gradient.gradient_y_3d(ref_ext)
-        gz = gradient.gradient_z_3d(ref_ext)
-        # The global gradient_z leaves 2-px zero borders at the volume z edges
-        # (oc_gradient.cpp:143); re-impose them on the edge blocks, where the
-        # clamp-filled halo would otherwise yield a nonzero stencil result.
-        zidx = jnp.arange(ref_ext.shape[0])[:, None, None]
-        lo_border = (dev == 0) & (zidx >= halo) & (zidx < halo + 2)
-        hi_border = (dev == n_dev - 1) & (zidx >= halo + bz - 2) & (zidx < halo + bz)
-        gz = jnp.where(lo_border | hi_border, 0.0, gz)
-        coeff = bspline.tricubic_prepare(tar_ext)
+        bz = ref_ext.shape[0] - 2 * halo
         # translate POI z into extended-block coordinates
         z_local = zs_b - (dev * bz).astype(jnp.float32) + halo
         zin = jnp.where(ok_b, z_b, jnp.float32(-10.0))  # poison padding
@@ -136,14 +199,19 @@ def _sharded_icgn3d(
     fn = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis),
-                  P(mesh_axis), P(mesh_axis), P(mesh_axis), P(mesh_axis)),
+        in_specs=(P(mesh_axis),) * 11,
         out_specs=P(mesh_axis),
         # the lattice path's pallas_call has no vma annotation on its
         # out_shape; every output here is per-block anyway
         check_vma=False,
     )
-    return fn(ref_vol, tar_vol, xs, ys, zs, p_in, zncc_in, valid)
+    return fn(gx_e, gy_e, gz_e, ref_e, coeff_e, xs, ys, zs, p_in, zncc_in,
+              valid)
+
+
+@jax.jit
+def _to_f32(x):
+    return x.astype(jnp.float32)
 
 
 @jax.jit
@@ -221,8 +289,16 @@ class ShardedICGN3D1:
         self.tar_vol = None
 
     def set_images(self, ref_vol, tar_vol):
-        self.ref_vol = np.asarray(getattr(ref_vol, "mat", ref_vol), np.float32)
-        self.tar_vol = np.asarray(getattr(tar_vol, "mat", tar_vol), np.float32)
+        # native width: integer CT volumes ride the host link at 1 B/voxel
+        # and are cast to f32 ON DEVICE (same thin-wire rule as
+        # models/base._upload_f32 — the 1.2 GB f32 Torus upload cost ~30 s
+        # and most of the run-to-run spread)
+        self.ref_vol = np.asarray(getattr(ref_vol, "mat", ref_vol))
+        self.tar_vol = np.asarray(getattr(tar_vol, "mat", tar_vol))
+        if not np.issubdtype(self.ref_vol.dtype, np.integer):
+            self.ref_vol = self.ref_vol.astype(np.float32)
+        if not np.issubdtype(self.tar_vol.dtype, np.integer):
+            self.tar_vol = self.tar_vol.astype(np.float32)
 
     def compute(self, table: poi_mod.POITable3D, mesh: Mesh,
                 axis: str = "z") -> poi_mod.POITable3D:
@@ -245,8 +321,11 @@ class ShardedICGN3D1:
         idx, valid, owner, bz = partition_pois_z(table, n_dev, dim_z)
 
         vol_sh = NamedSharding(mesh, P(axis))
-        ref_d = jax.device_put(jnp.asarray(self.ref_vol), vol_sh)
-        tar_d = jax.device_put(jnp.asarray(self.tar_vol), vol_sh)
+        up = lambda a: _to_f32(jax.device_put(jnp.asarray(a), vol_sh))
+        ref_d = up(self.ref_vol)
+        tar_d = up(self.tar_vol)
+        prep = _sharded_prepare(ref_d, tar_d, halo=self.halo,
+                                mesh_axis=axis, mesh=mesh)
 
         # Per-device POI chunking, orchestrated on the host like
         # models/base.chunked (an in-program lax.map would scan-wrap the GN
@@ -275,7 +354,7 @@ class ShardedICGN3D1:
             xs, ys, zs, ps, zncc_in, val = _gather_queue(
                 table.x, table.y, table.z, table.p, table.r, idx_c, val_c)
             parts.append(_sharded_icgn3d(
-                ref_d, tar_d, xs, ys, zs, ps, zncc_in, val,
+                *prep, xs, ys, zs, ps, zncc_in, val,
                 jnp.float32(self.conv_criterion),
                 jnp.float32(self.stop_condition),
                 rx=self.rx, ry=self.ry, rz=self.rz, halo=self.halo,

@@ -88,8 +88,10 @@ def main():
     mk_poi = lambda a: jax.make_array_from_process_local_data(
         poi_sh, np.asarray(a)[idx][blo:bhi])
 
+    prep = halo_mod._sharded_prepare(
+        mk_vol(ref), mk_vol(tar), halo=halo, mesh_axis="z", mesh=mesh)
     outs = halo_mod._sharded_icgn3d(
-        mk_vol(ref), mk_vol(tar),
+        *prep,
         mk_poi(t.x), mk_poi(t.y), mk_poi(t.z), mk_poi(t.p),
         mk_poi(t.r[:, poi_mod.R3_ZNCC]),
         jax.make_array_from_process_local_data(poi_sh, valid[blo:bhi]),
