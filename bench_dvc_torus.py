@@ -129,7 +129,8 @@ def stage_sift():
     (through this sandbox's tunnel a readback costs seconds of polled
     dispatch — on real hardware it is microseconds)."""
     ref, tar = _load_pair()
-    sift = oc.SIFT3D(pyramid_backend="device")
+    sift = oc.SIFT3D(pyramid_backend="device",
+                     hist_bf16=os.environ.get("SIFT3D_BF16") == "1")
     sift.set_images(ref, tar)
     sift.prepare()
 

@@ -86,7 +86,7 @@ def _face_tables():
 
 def _desc_kernel(gx_ref, gy_ref, gz_ref, wz_ref, pz_ref, pz2_ref,
                  wyx_ref, px_ref, py_ref, pyx2_ref, rot_ref, out_ref,
-                 *, r2, inv_cr, cr):
+                 *, r2, inv_cr, cr, bf16=False):
     """One (keypoint-tile, z-slice, yx-tile) grid step: accumulate
     S [Kt, 60, 64]."""
     f32 = jnp.float32
@@ -149,6 +149,11 @@ def _desc_kernel(gx_ref, gy_ref, gz_ref, wz_ref, pz_ref, pz2_ref,
     # is fully dead).
     @pl.when(jnp.any(okv))
     def _():
+        # NOTE: building the operands directly in bf16 was measured
+        # SLOWER on v5e (22.4 vs 18.6 s for the Torus both-volumes total —
+        # bf16 elementwise pays conversion/tiling overhead), so the bf16
+        # opt-in casts only at the dot below; the build stays f32
+        od = f32
         # left operand u [Kt, 60, CYX]: row a*20+t = onehot(t) * alpha*g_a
         # (built [Kt, 3, 20, CYX] so the tiled trailing dims stay
         # (20, CYX) — the (a, t) ordering matches _face_tables' W')
@@ -181,15 +186,17 @@ def _desc_kernel(gx_ref, gy_ref, gz_ref, wz_ref, pz_ref, pz2_ref,
         cw = (wz4[:, :, None, :] * wyx16[:, None, :, :]).reshape(
             kt, 64, cyx)
 
+        md = jnp.bfloat16 if bf16 else f32
         s_tile = jnp.stack(
-            [jax.lax.dot_general(u[k], cw[k], (((1,), (1,)), ((), ())),
+            [jax.lax.dot_general(u[k].astype(md), cw[k].astype(md),
+                                 (((1,), (1,)), ((), ())),
                                  preferred_element_type=f32)
              for k in range(kt)], axis=0)  # [Kt, 60, 64]
         out_ref[:] += s_tile
 
 
 def descriptor_hist(gxw, gyw, gzw, wz, pz, pz2, wyx, px, py, pyx2, rot,
-                    *, scale, kt=8, interpret=False):
+                    *, scale, kt=8, hist_bf16=False, interpret=False):
     """Accumulate the [K, 60, 64] deferred histogram S.
 
     gxw/gyw/gzw: [CZ, K, CYX] central-difference gradients of the crop
@@ -224,7 +231,7 @@ def descriptor_hist(gxw, gyw, gzw, wz, pz, pz2, wyx, px, py, pyx2, rot,
 
     kernel = functools.partial(
         _desc_kernel, r2=sphere_radius * sphere_radius,
-        inv_cr=1.0 / cube_radius, cr=cube_radius)
+        inv_cr=1.0 / cube_radius, cr=cube_radius, bf16=hist_bf16)
     grid = (k // kt, cz, nyx)
     bs_zk = pl.BlockSpec((1, kt, cyx_t), lambda i, z, j: (z, i, j))
     bs_z1 = pl.BlockSpec((1, kt, 1), lambda i, z, j: (z, i, 0))
@@ -242,7 +249,7 @@ def descriptor_hist(gxw, gyw, gzw, wz, pz, pz2, wyx, px, py, pyx2, rot,
 
 
 @functools.partial(jax.jit, static_argnames=("crop", "scale", "unit_xyz",
-                                             "interpret"))
+                                             "hist_bf16", "interpret"))
 def construct_descriptor_fused(
     vol: jnp.ndarray,   # [dz, dy, dx] Gaussian layer
     xi: jnp.ndarray,    # [K] int32 keypoint coords
@@ -254,6 +261,7 @@ def construct_descriptor_fused(
     crop,               # static (caz, cay, cax) active radii
     scale: float,       # static layer scale
     unit_xyz,           # static (ux, uy, uz)
+    hist_bf16: bool = False,
     interpret: bool = False,
 ):
     """[K, 768] descriptors through the fused kernel.
@@ -314,7 +322,8 @@ def construct_descriptor_fused(
 
     s_hist = descriptor_hist(
         gxw, gyw, gzw, ztab(wzt), ztab(pzt), ztab(pz2t), wyx, pxf, pyf,
-        pyx2, rot.reshape(k, 9), scale=scale, interpret=interpret)
+        pyx2, rot.reshape(k, 9), scale=scale, hist_bf16=hist_bf16,
+        interpret=interpret)
 
     _, _, w_fold = _face_tables()
     desc = jnp.einsum("ja,kac->kjc", jnp.asarray(w_fold), s_hist,

@@ -253,11 +253,9 @@ def assign_orientation(
     zc = (z0[:, None] + og[None, :])  # absolute coords [K, s]
     yc = (y0[:, None] + og[None, :])
     xc = (x0[:, None] + og[None, :])
-    inb = (
-        ((zc >= IMG_BORDER) & (zc <= dz - 1 - IMG_BORDER))[:, :, None, None]
-        & ((yc >= IMG_BORDER) & (yc <= dy - 1 - IMG_BORDER))[:, None, :, None]
-        & ((xc >= IMG_BORDER) & (xc <= dx - 1 - IMG_BORDER))[:, None, None, :]
-    )
+    inbz = (zc >= IMG_BORDER) & (zc <= dz - 1 - IMG_BORDER)
+    inby = (yc >= IMG_BORDER) & (yc <= dy - 1 - IMG_BORDER)
+    inbx = (xc >= IMG_BORDER) & (xc <= dx - 1 - IMG_BORDER)
 
     sigma_w = 1.5 * scale
     wrad = 3.0 * sigma_w
@@ -267,18 +265,12 @@ def assign_orientation(
     pz = (zc.astype(f32) - zi.astype(f32)[:, None]) * units[2]
     # Separable Gaussian: exp(-0.5 d2/s^2) = ex*ey*ez from per-AXIS tables
     # (O(s) exps instead of O(s^3) — the exp/sqrt per voxel dominated this
-    # stage at CT scale); the sphere test runs on d2, no sqrt.
+    # stage at CT scale); the sphere test runs on d2, no sqrt; the border
+    # masks fold into the axis tables.
     inv2s2 = -0.5 / (sigma_w * sigma_w)
-    ex = jnp.exp(inv2s2 * px * px)
-    ey = jnp.exp(inv2s2 * py * py)
-    ez = jnp.exp(inv2s2 * pz * pz)
-    d2 = (
-        pz[:, :, None, None] ** 2 + py[:, None, :, None] ** 2
-        + px[:, None, None, :] ** 2
-    )
-    sphere = d2 <= wrad * wrad
-    weight = (ez[:, :, None, None] * ey[:, None, :, None]
-              * ex[:, None, None, :]) * sphere * inb
+    ex = jnp.exp(inv2s2 * px * px) * inbx
+    ey = jnp.exp(inv2s2 * py * py) * inby
+    ez = jnp.exp(inv2s2 * pz * pz) * inbz
 
     # central-difference gradients w.r.t. physical coordinates
     # (0.5 (I[k+1] - I[k-1]), oc_sift.cpp:905-907; note _sh(+1)[x] = win[x-1],
@@ -289,24 +281,35 @@ def assign_orientation(
     gyv = 0.5 * (_sh(win, 0, -1, 0) - _sh(win, 0, 1, 0)) / units[1]
     gzv = 0.5 * (_sh(win, -1, 0, 0) - _sh(win, 1, 0, 0)) / units[2]
 
-    axes = (1, 2, 3)
+    # The weighted reductions run on a [K, s, s^2] layout: a trailing dim
+    # of s (33/41) pads to 128 lanes (~4x wasted VPU/HBM); s^2 pads ~6%.
+    k = win.shape[0]
+    cyx = s * s
+    fl = lambda a: a.reshape(k, s, cyx)
+    gxf, gyf, gzf = fl(gxv), fl(gyv), fl(gzv)
+    wyx = (ey[:, :, None] * ex[:, None, :]).reshape(k, cyx)
+    pyx2 = (py[:, :, None] ** 2 + px[:, None, :] ** 2).reshape(k, cyx)
+    sphere = (pz[:, :, None] ** 2 + pyx2[:, None, :]) <= wrad * wrad
+    weight = ez[:, :, None] * wyx[:, None, :] * sphere  # [K, s, s^2]
+
+    axes = (1, 2)
     st = jnp.stack(
         [
-            jnp.stack([jnp.sum(gxv * gxv * weight, axes),
-                       jnp.sum(gxv * gyv * weight, axes),
-                       jnp.sum(gxv * gzv * weight, axes)], -1),
-            jnp.stack([jnp.sum(gxv * gyv * weight, axes),
-                       jnp.sum(gyv * gyv * weight, axes),
-                       jnp.sum(gyv * gzv * weight, axes)], -1),
-            jnp.stack([jnp.sum(gxv * gzv * weight, axes),
-                       jnp.sum(gyv * gzv * weight, axes),
-                       jnp.sum(gzv * gzv * weight, axes)], -1),
+            jnp.stack([jnp.sum(gxf * gxf * weight, axes),
+                       jnp.sum(gxf * gyf * weight, axes),
+                       jnp.sum(gxf * gzf * weight, axes)], -1),
+            jnp.stack([jnp.sum(gxf * gyf * weight, axes),
+                       jnp.sum(gyf * gyf * weight, axes),
+                       jnp.sum(gyf * gzf * weight, axes)], -1),
+            jnp.stack([jnp.sum(gxf * gzf * weight, axes),
+                       jnp.sum(gyf * gzf * weight, axes),
+                       jnp.sum(gzf * gzf * weight, axes)], -1),
         ],
         axis=-2,
     )  # [K, 3, 3]
     d_vec = jnp.stack(
-        [jnp.sum(gxv * weight, axes), jnp.sum(gyv * weight, axes),
-         jnp.sum(gzv * weight, axes)], -1)  # [K, 3]
+        [jnp.sum(gxf * weight, axes), jnp.sum(gyf * weight, axes),
+         jnp.sum(gzf * weight, axes)], -1)  # [K, 3]
 
     ok = jnp.sum(d_vec * d_vec, -1) >= grad_threshold
 
@@ -716,9 +719,10 @@ def describe_keypoints(vol, xi, yi, zi, ok_in, rot, scale, units, truncate, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("crop", "scale", "unit_xyz", "chunk",
-                                    "interpret"))
+                                    "hist_bf16", "interpret"))
 def describe_keypoints_fused(vol, xi, yi, zi, ok_in, rot, truncate, *,
-                             crop, scale, unit_xyz, chunk, interpret=False):
+                             crop, scale, unit_xyz, chunk,
+                             hist_bf16=False, interpret=False):
     """Chunked driver for the fused Pallas descriptor kernel
     (ops/pallas_desc.construct_descriptor_fused): same cond-skip chunking
     as describe_keypoints, ~f32-ulp-identical output (3e-8 measured vs the
@@ -735,7 +739,8 @@ def describe_keypoints_fused(vol, xi, yi, zi, ok_in, rot, truncate, *,
         def live(_):
             return pallas_desc.construct_descriptor_fused(
                 vol, xc, yc, zc, rc, truncate, crop=crop, scale=scale,
-                unit_xyz=unit_xyz, interpret=interpret)
+                unit_xyz=unit_xyz, hist_bf16=hist_bf16,
+                interpret=interpret)
 
         def dead(_):
             return jnp.zeros((xc.shape[0], 768), jnp.float32)
@@ -809,11 +814,11 @@ def octave_features(
         # keep the einsum path's clamped-window semantics
         fits = all(2 * (c + 1) + 1 <= d
                    for c, d in zip(crop, g[n].shape))
-        if fits and not hist_bf16:
+        if fits:
             desc = describe_keypoints_fused(
                 g[n], xd, yd, zd, okd, rotd, truncate, crop=crop,
                 scale=scale, unit_xyz=unit_xyz, chunk=chunk_d,
-                interpret=interp)
+                hist_bf16=hist_bf16, interpret=interp)
         else:
             desc = describe_keypoints(
                 g[n], xd, yd, zd, okd, rotd, jnp.float32(scale), units_arr,
