@@ -59,14 +59,17 @@ def _icgn3d1_full(gx, gy, gz, ref_vol, coeff, t, conv, max_iter,
     return t.replace(p=p_out, r=r, sr=sr)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "rx", "ry"))
-def _icgn2d_full(gx, gy, ref_img, tar_lut, x, y, p, r, sr, conv, max_iter,
-                 offs, *, order, rx, ry):
+@functools.partial(jax.jit, static_argnames=("order", "rx", "ry",
+                                             "window_margin", "eval_mode"))
+def _icgn2d_full(gx, gy, ref_img, tar_lut, tar_img, x, y, p, r, sr, conv,
+                 max_iter, offs, *, order, rx, ry, window_margin=None,
+                 eval_mode="lattice"):
     """Kernel + result-table merge in one program (a dozen separate eager
     updates would each pay a dispatch round-trip)."""
     p_out, u0, v0, zncc, it, dpn, computed = icgn_ops.icgn2d(
         gx, gy, ref_img, tar_lut, x, y, p, r[:, poi_mod.R_ZNCC], conv,
-        max_iter, offs, order=order, rx=rx, ry=ry,
+        max_iter, offs, tar_img, order=order, rx=rx, ry=ry,
+        window_margin=window_margin, eval_mode=eval_mode,
     )
     r = r.at[:, poi_mod.R_ZNCC].set(zncc)
     r = r.at[:, poi_mod.R_U0].set(jnp.where(computed, u0, r[:, poi_mod.R_U0]))
@@ -85,11 +88,22 @@ class _ICGN2DBase(base.Module2D):
 
     def __init__(self, subset_radius_x: int, subset_radius_y: int,
                  conv_criterion: float = 0.001, stop_condition: float = 10,
-                 chunk_size: Optional[int] = 65536):
+                 chunk_size: Optional[int] = 65536,
+                 window_margin: Optional[int] = 8,
+                 eval_mode: str = "lattice"):
+        """``window_margin``/``eval_mode``: default per-POI windowed
+        lattice eval (gather-free; round-5 device profiling measured the
+        global tile-LUT gather at ~0.55 s per GN iteration for the 30k
+        r=16 flagship — the whole compute was ~5.7 s of real device time,
+        ~10x SLOWER than the reference CPU; see ops/icgn.icgn2d).  None
+        restores the global LUT path (bit-exact reference eval
+        everywhere, no -3 on >margin-2 px GN drift)."""
         super().__init__(subset_radius_x, subset_radius_y)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
         self.chunk_size = chunk_size
+        self.window_margin = window_margin
+        self.eval_mode = eval_mode
         self._gx = None
         self._gy = None
         self._lut = None
@@ -120,28 +134,37 @@ class _ICGN2DBase(base.Module2D):
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         order = self.order
+        margin = self.window_margin
+        mode = self.eval_mode
+        if margin is not None:
+            h, w = self.ref_img.shape
+            if min(w - 2 * rx, h - 2 * ry) - 1 < 2 * margin:
+                margin = None  # image smaller than the window: global path
         # device buffers ride the consts channel: a run-closure must not
         # capture device arrays (base._assert_capture_free — closure capture
         # embeds them as program constants via a host readback)
         chunk = base.budget_chunk(self.chunk_size, rx, ry)
-        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
+        consts = (self._gx, self._gy, self.ref_img, self._lut,
+                  self.tar_img) + self._memo.get(
             (self.conv_criterion, self.stop_condition),
             lambda: (jnp.float32(self.conv_criterion),
                      jnp.float32(self.stop_condition)))
 
-        def run(t, gx, gy, ref_img, lut, conv, max_iter):
+        def run(t, gx, gy, ref_img, lut, tar_img, conv, max_iter):
             p_out, r, sr = _icgn2d_full(
-                gx, gy, ref_img, lut,
+                gx, gy, ref_img, lut, tar_img,
                 t.x, t.y, t.p, t.r, t.sr, conv, max_iter, None,
-                order=order, rx=rx, ry=ry,
+                order=order, rx=rx, ry=ry, window_margin=margin,
+                eval_mode=mode,
             )
             return t.replace(p=p_out, r=r, sr=sr)
 
-        def run_off(t, offs, gx, gy, ref_img, lut, conv, max_iter):
+        def run_off(t, offs, gx, gy, ref_img, lut, tar_img, conv, max_iter):
             p_out, r, sr = _icgn2d_full(
-                gx, gy, ref_img, lut,
+                gx, gy, ref_img, lut, tar_img,
                 t.x, t.y, t.p, t.r, t.sr, conv, max_iter, offs,
-                order=order, rx=rx, ry=ry,
+                order=order, rx=rx, ry=ry, window_margin=margin,
+                eval_mode=mode,
             )
             return t.replace(p=p_out, r=r, sr=sr)
 

@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from . import bspline, linalg as linalg_ops, warp as warp_ops
+from . import pallas_gather2d as gather2d
 from .pallas_lattice import lattice_eval
+from .pallas_lattice2d import lattice_eval_2d
 from ..utils.precision import highest_precision
 
 
@@ -51,8 +53,18 @@ def gather_subsets_2d(img: jnp.ndarray, x0: jnp.ndarray, y0: jnp.ndarray,
     )
 
 
+def _gather2d(img, x0, y0, rx, ry):
+    """Window gather through the DMA kernel on TPU (the vmapped slice
+    serializes per POI there); interpret/CPU keeps the slice loop."""
+    if jax.default_backend() != "tpu":
+        return gather_subsets_2d(img, x0, y0, rx, ry)
+    return gather2d.gather_windows_2d(
+        img, y0, x0, sh=2 * ry + 1, sw=2 * rx + 1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("order", "rx", "ry")
+    jax.jit, static_argnames=("order", "rx", "ry", "window_margin",
+                              "eval_mode")
 )
 @highest_precision
 def icgn2d(
@@ -67,12 +79,28 @@ def icgn2d(
     conv: jnp.ndarray,
     max_iter: jnp.ndarray,
     center_offset: Optional[jnp.ndarray],  # [N, 2] or None
+    tar_img: Optional[jnp.ndarray] = None,
     *,
     order: int,
     rx: int,
     ry: int,
+    window_margin: Optional[int] = None,
+    eval_mode: str = "lattice",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (p_out[N,12], u0, v0, zncc, iteration, convergence, computed)."""
+    """Returns (p_out[N,12], u0, v0, zncc, iteration, convergence, computed).
+
+    ``window_margin``/``eval_mode``: None keeps the global per-pixel
+    tile-LUT eval (oc_cubic_bspline.cpp:134-181 precomputation) — which
+    round-5 device profiling showed runs at ~17M gathered samples/s on
+    v5e, ~0.55 s per GN iteration at the flagship 30k r=16 queue.  An int
+    margin M switches to per-POI target-IMAGE windows of half-extent r+M
+    around the seeded center and the gather-free 2D lattice kernel
+    (ops/pallas_lattice2d.py — same real value, f32 reordering ~1e-6):
+    samples whose lattice deviation exceeds D=1 (strain > ~D/r or GN
+    drift) fall back in-program to the exact LUT eval; samples leaving
+    their window read as out-of-range (-3), which only happens when GN
+    has wandered > M-2 px past the seed (the 3D kernel's semantics,
+    ops/icgn.icgn3d1)."""
     h, w = ref_img.shape
     n = xs.shape[0]
     sh, sw = 2 * ry + 1, 2 * rx + 1
@@ -104,7 +132,7 @@ def icgn2d(
     y0 = jnp.clip(yi - ry, 0, h - sh)
 
     # Reference subset, zero-mean norm (oc_subset.cpp:39-53).
-    ref_sub = gather_subsets_2d(ref_img, x0, y0, rx, ry).reshape(n, s)
+    ref_sub = _gather2d(ref_img, x0, y0, rx, ry).reshape(n, s)
     ref_mean = jnp.mean(ref_sub, axis=1, keepdims=True)
     ref_zm = ref_sub - ref_mean
     rn = jnp.sqrt(jnp.sum(ref_zm * ref_zm, axis=1))  # [N]
@@ -122,24 +150,31 @@ def icgn2d(
     yl = yl_i[None, :] - oy[:, None]
 
     # Steepest-descent images + Hessian (oc_icgn.cpp:179-210, :719-759).
-    gxs = gather_subsets_2d(gx, x0, y0, rx, ry).reshape(n, s)
-    gys = gather_subsets_2d(gy, x0, y0, rx, ry).reshape(n, s)
+    # The sd channels are g * monomial products, so the Hessian and the
+    # per-iteration numerator are plain weighted REDUCTIONS: materializing
+    # sd [N, S, K] (784 MB at the flagship queue) and einsum-ing it ran
+    # MXU-row-bound (~22 ms/iteration of real device time for a [K]-wide
+    # output); the factored form is a handful of fused VPU reduce passes.
+    gxs = _gather2d(gx, x0, y0, rx, ry).reshape(n, s)
+    gys = _gather2d(gy, x0, y0, rx, ry).reshape(n, s)
     if order == 1:
-        sd = jnp.stack(
-            [gxs, gxs * xl, gxs * yl, gys, gys * xl, gys * yl], axis=-1
-        )  # [N, S, 6]
+        monos = (None, xl, yl)  # sd = (gx*m..., gy*m...), None = 1
     else:
-        xx = xl * xl * 0.5
-        xy = xl * yl
-        yy = yl * yl * 0.5
-        sd = jnp.stack(
-            [
-                gxs, gxs * xl, gxs * yl, gxs * xx, gxs * xy, gxs * yy,
-                gys, gys * xl, gys * yl, gys * xx, gys * xy, gys * yy,
-            ],
-            axis=-1,
-        )  # [N, S, 12]
-    hess = jnp.einsum("nsi,nsj->nij", sd, sd)
+        monos = (None, xl, yl, xl * xl * 0.5, xl * yl, yl * yl * 0.5)
+    nm = len(monos)
+    k_ch = 2 * nm
+
+    def _sd_ch(i, base):
+        """sd channel i applied to ``base`` ([N, S])."""
+        g = gxs if i < nm else gys
+        m = monos[i % nm]
+        return g * base if m is None else g * m * base
+
+    hess = jnp.stack(
+        [jnp.stack(
+            [jnp.sum(_sd_ch(i, _sd_ch(j, jnp.ones_like(gxs))), axis=1)
+             for j in range(k_ch)], -1)
+         for i in range(k_ch)], -2)
     hinv = linalg_ops.inv_small(hess)
 
     # Initial guess: always the first-order part (oc_icgn.cpp:216, :765).
@@ -158,6 +193,126 @@ def icgn2d(
     tar_cx = xs + ox  # target subset center (oc_icgn.cpp:425-426)
     tar_cy = ys + oy
 
+    if window_margin is not None and eval_mode == "lattice":
+        # Per-POI target-IMAGE windows around the seeded center, padded
+        # 1+D per side (the 3D lesson: an edge-clipped window shifts every
+        # lattice placement out of range and spuriously triggers the
+        # whole-chunk fallback).
+        mx, my = rx + window_margin, ry + window_margin
+        swx, swy = 2 * mx + 1, 2 * my + 1
+        wcx = jnp.clip(jnp.floor(tar_cx + u_in).astype(jnp.int32) - mx,
+                       0, w - swx)
+        wcy = jnp.clip(jnp.floor(tar_cy + v_in).astype(jnp.int32) - my,
+                       0, h - swy)
+        # D=2 with a FIXED base from the seeded center: the extended block
+        # is gathered ONCE per compute (the per-iteration vmapped slice
+        # cost ~45 ms at 30k POIs), and the [0, 2D] placement range
+        # absorbs up to ~2 px of combined GN drift + strain deviation
+        # before the compacted correction kicks in.
+        D = 2
+        pw = 1 + D
+        wlat = 4 + 2 * D
+        elx, ely = sw + wlat - 1, sh + wlat - 1
+        wcxf = wcx.astype(f32)[:, None]
+        wcyf = wcy.astype(f32)[:, None]
+        iixf = jnp.tile(jnp.arange(sw, dtype=jnp.int32), sh)  # x fastest
+        iiyf = jnp.repeat(jnp.arange(sh, dtype=jnp.int32), sw)
+        interp = jax.default_backend() != "tpu"
+        # correction-subset cap: covers a few percent of wobbled POIs
+        CAP2D = min(n, max(256, n // 32))
+        # Seed-centered lattice base in PADDED-window coords.  The block is
+        # gathered straight from the image at (wc - pw + b0): the 1+D pad
+        # only exists so edge bases stay unclipped — valid samples' taps
+        # never reach it (min tap = floor-1 >= 0 under the window-exit
+        # test), so real pixels there are as good as the old zero pad.
+        # The base bounds keep the gather corner inside the image;
+        # image-edge POIs whose base rises above the seed-centered value
+        # simply route through the compacted correction.
+        seed_cx = jnp.floor(tar_cx + u_in).astype(jnp.int32) - wcx
+        seed_cy = jnp.floor(tar_cy + v_in).astype(jnp.int32) - wcy
+        bx0 = jnp.clip(seed_cx + pw - rx - 1 - D,
+                       jnp.maximum(0, pw - wcx),
+                       jnp.minimum(swx + 2 * pw - elx, w - elx + pw - wcx))
+        by0 = jnp.clip(seed_cy + pw - ry - 1 - D,
+                       jnp.maximum(0, pw - wcy),
+                       jnp.minimum(swy + 2 * pw - ely, h - ely + pw - wcy))
+        eblk = gather2d.gather_windows_2d(
+            tar_img, wcy - pw + by0, wcx - pw + bx0, sh=ely, sw=elx,
+            interpret=interp)
+
+        def eval_tar(gxc, gyc, active):
+            # global range guard — the EXACT float comparisons the LUT
+            # path runs (bspline.bicubic_eval); local-domain tests are
+            # int32-only (the round-3 miscompile lesson, ops/bspline.py)
+            oob_g = (
+                (gxc < 1) | (gyc < 1) | (gxc >= w - 2) | (gyc >= h - 2)
+                | jnp.isnan(gxc) | jnp.isnan(gyc)
+            )
+            lx = jnp.where(oob_g, f32(2.0), gxc - wcxf)
+            ly = jnp.where(oob_g, f32(2.0), gyc - wcyf)
+            exf = jnp.floor(jnp.clip(lx, -9.0, swx + 9.0)).astype(jnp.int32)
+            eyf = jnp.floor(jnp.clip(ly, -9.0, swy + 9.0)).astype(jnp.int32)
+            oob = (
+                oob_g
+                | (exf < 1) | (exf > swx - 3)
+                | (eyf < 1) | (eyf > swy - 3)
+            )
+            # flat [N, S] math throughout (a [N, 33, 33] layout pads its
+            # 33-lane trailing dim 4x; only the kernel boundary reshapes)
+            fxf = lx - exf.astype(f32)
+            fyf = ly - eyf.astype(f32)
+            pdx = exf + pw - 1 - bx0[:, None] - iixf[None, :]
+            pdy = eyf + pw - 1 - by0[:, None] - iiyf[None, :]
+            pdx = jnp.where(oob, -1, pdx)
+            pdy = jnp.where(oob, -1, pdy)
+            doomed = jnp.any(oob, axis=1)
+            # Only ACTIVE POIs need exact values: a frozen POI (converged,
+            # failed, or invalid from entry) still evaluates every
+            # iteration, but its values are discarded by the step mask.
+            wobble = (
+                (pdx < 0) | (pdx > 2 * D) | (pdy < 0) | (pdy > 2 * D)
+            ) & ~oob & (~doomed & active)[:, None]
+            wob_poi = jnp.any(wobble, axis=1)
+            n_wob = jnp.sum(wob_poi)
+
+            r3 = lambda a: a.reshape(n, sh, sw)
+            val = lattice_eval_2d(
+                eblk, r3(pdy), r3(pdx), r3(fyf), r3(fxf), d_wobble=D,
+                interpret=interp)
+            val = jnp.where(oob, f32(-1.0), val.reshape(n, s))
+
+            # Wobbled POIs (high local strain / large GN drift — e.g. the
+            # oht hole boundary, ~2% of that queue) are corrected with the
+            # exact LUT eval on a COMPACTED fixed-size subset instead of
+            # dragging the whole chunk onto the 17M-samples/s gather (the
+            # round-4-style whole-chunk lax.cond cost ~0.5 s/iteration
+            # whenever ANY steep POI was still active).  If more than CAP
+            # POIs wobble, the whole chunk falls back — correct for any
+            # deformation, just slow.
+            from .sift2d import _compact
+
+            def _correct(v):
+                idx, okc = _compact(wob_poi, CAP2D)
+                vals, _u = bspline.bicubic_eval(
+                    tar_lut, gxc[idx], gyc[idx])
+                vals = jnp.where(oob.reshape(n, s)[idx], f32(-1.0), vals)
+                # padding rows of the compaction carry okc=False and a
+                # clamped duplicate index — they write back v[idx], a
+                # no-op even under scatter duplication
+                vals = jnp.where(okc[:, None], vals, v[idx])
+                return v.at[idx].set(vals)
+
+            def _full(v):
+                tval, _unused = bspline.bicubic_eval(tar_lut, gxc, gyc)
+                return jnp.where(oob, f32(-1.0), tval).reshape(n, s)
+
+            val = jax.lax.cond(n_wob > 0, _correct, lambda v: v, val)
+            return jax.lax.cond(n_wob > CAP2D, _full, lambda v: v, val)
+    else:
+        def eval_tar(gxc, gyc, active):
+            tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)
+            return tval
+
     rx2 = f32(rx * rx)
     ry2 = f32(ry * ry)
     # Convergence-norm weights (oc_icgn.cpp:296-306, :836-856).  The reference
@@ -175,18 +330,26 @@ def icgn2d(
 
     def body(state):
         wmat, active, it, dpn, znssd, oob_fail = state
-        # Warp the local grid (oc_deformation.cpp:94-105 / :268-282).
+        # Warp the local grid (oc_deformation.cpp:94-105 / :268-282) with
+        # explicit FMAs: the einsum form materialized a [N, S, 3|6] basis
+        # stack (393 MB/iteration at the flagship queue) and ran as MXU
+        # rows.
         if order == 1:
-            pv = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)  # [N,S,3]
-            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, :2, :], pv)
+            rows = wmat[:, :2, :]
+            basis = (xl, yl, None)  # None = the constant-1 column
         else:
-            pv = jnp.stack(
-                [xl * xl, xl * yl, yl * yl, xl, yl, jnp.ones_like(xl)], axis=-1
-            )
-            wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, 3:5, :], pv)
-        gx_c = tar_cx[:, None] + wxy[..., 0]
-        gy_c = tar_cy[:, None] + wxy[..., 1]
-        tval, _ = bspline.bicubic_eval(tar_lut, gx_c, gy_c)
+            rows = wmat[:, 3:5, :]
+            basis = (xl * xl, xl * yl, yl * yl, xl, yl, None)
+
+        def wrow(r):
+            acc = rows[:, r, len(basis) - 1][:, None]
+            for c, b in enumerate(basis[:-1]):
+                acc = acc + rows[:, r, c][:, None] * b
+            return acc
+
+        gx_c = tar_cx[:, None] + wrow(0)
+        gy_c = tar_cy[:, None] + wrow(1)
+        tval = eval_tar(gx_c, gy_c, active)
 
         # Out-of-range detection via the -1 sentinel (oc_icgn.cpp:244-255).
         fail_now = jnp.any(tval < 0.0, axis=1) & active
@@ -196,7 +359,8 @@ def icgn2d(
         tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
         err = tar_zm * (rn / tn)[:, None] - ref_zm
         znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
-        num = jnp.einsum("nsi,ns->ni", sd, err)
+        num = jnp.stack(
+            [jnp.sum(_sd_ch(i, err), axis=1) for i in range(k_ch)], -1)
         dp = jnp.einsum("nij,nj->ni", hinv, num)
         winc = warp_from_p(dp)
         wmat_new = wmat @ linalg_ops.inv_small(winc)
@@ -620,7 +784,7 @@ def icgn3d1(
             return lx, ly, lz, exf, eyf, ezf, oob
 
         if eval_mode == "tile":
-            def eval_tar(gxc, gyc, gzc):
+            def eval_tar(gxc, gyc, gzc, active):
                 lx, ly, lz, _, _, _, oob = _local_oob(gxc, gyc, gzc)
                 return bspline.tricubic_eval_tiled(
                     w64, (swz, swy, swx), lx, ly, lz, oob)
@@ -653,7 +817,7 @@ def icgn3d1(
             pw = 1 + D
             cwin_p = jnp.pad(cwin, ((0, 0), (pw, pw), (pw, pw), (pw, pw)))
 
-            def eval_tar(gxc, gyc, gzc):
+            def eval_tar(gxc, gyc, gzc, active):
                 lx, ly, lz, exf, eyf, ezf, oob = _local_oob(gxc, gyc, gzc)
                 xi = exf.reshape(n, sz, sy, sx)
                 yi = eyf.reshape(n, sz, sy, sx)
@@ -684,11 +848,13 @@ def icgn3d1(
                 # iteration regardless of values (fail_any below), so its
                 # placements must not trigger the exact-path fallback.
                 doomed = jnp.any(oob4, axis=(1, 2, 3))
+                # active-masked like the 2D path: frozen POIs must not
+                # keep the whole chunk on the exact fallback
                 wobble = (
                     (pdx < 0) | (pdx > 2 * D)
                     | (pdy < 0) | (pdy > 2 * D)
                     | (pdz < 0) | (pdz > 2 * D)
-                ) & ~oob4 & ~doomed[:, None, None, None]
+                ) & ~oob4 & (~doomed & active)[:, None, None, None]
                 overflow = jnp.any(wobble)
 
                 def _lat(_):
@@ -711,7 +877,7 @@ def icgn3d1(
 
                 return jax.lax.cond(overflow, _fallback, _lat, 0)
     else:
-        def eval_tar(gxc, gyc, gzc):
+        def eval_tar(gxc, gyc, gzc, active):
             tval, _ = bspline.tricubic_eval(tar_coeff, gxc, gyc, gzc)
             return tval
 
@@ -733,7 +899,7 @@ def icgn3d1(
         gxc = xs[:, None] + wx
         gyc = ys[:, None] + wy
         gzc = zs[:, None] + wz
-        tval = eval_tar(gxc, gyc, gzc)
+        tval = eval_tar(gxc, gyc, gzc, active)
         fail_any = jnp.any(tval < 0.0, axis=1)
         if z_guard_lo is not None:
             fail_any = fail_any | jnp.any(
