@@ -23,6 +23,63 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(None)
+def _dft_mat(s: int) -> np.ndarray:
+    """Symmetric s-point DFT matrix (complex64)."""
+    j = np.arange(s)
+    return np.exp(-2j * np.pi * np.outer(j, j) / s).astype(np.complex64)
+
+
+def _circ_corr2d(ref_zm: jnp.ndarray, tar_zm: jnp.ndarray) -> jnp.ndarray:
+    """Normalized circular cross-correlation surface via DFT MATMULS.
+
+    Round-5 device profiling found ``jnp.fft.irfft2`` MISCOMPILED on this
+    stack whenever its consumer wants the flattened layout: 934 of 1024
+    bins of a 32x32 surface came back up to 11% wrong (deterministic,
+    layout-dependent — the [N, 32, 32]-shaped output of the SAME graph is
+    1e-7-exact, and lax.optimization_barrier does not help because layouts
+    propagate through it).  This corruption is what made the f32 argmax
+    disagree with the reference for ~3% of flagship POIs — previously
+    misattributed to FFT rounding and patched by the integer re-rank.
+    DFT matmuls sidestep the fft lowering entirely, run on the MXU, and
+    support any window size; f32 error vs an f64 FFT is ~1e-6 relative.
+    """
+    wh, ww = ref_zm.shape[-2:]
+    c64 = jnp.complex64
+    wy = jnp.asarray(_dft_mat(wh))
+    wx = jnp.asarray(_dft_mat(ww))
+
+    def dft2(a):
+        f = jnp.einsum("ab,nbc->nac", wy, a.astype(c64))
+        return jnp.einsum("nac,cd->nad", f, wx)  # W symmetric
+
+    cf = jnp.conj(dft2(ref_zm)) * dft2(tar_zm)
+    inv = jnp.einsum("ab,nbc->nac", jnp.conj(wy), cf)
+    inv = jnp.einsum("nac,cd->nad", inv, jnp.conj(wx))
+    return jnp.real(inv) / (wh * ww)
+
+
+def _circ_corr3d(ref_zm: jnp.ndarray, tar_zm: jnp.ndarray) -> jnp.ndarray:
+    """3D analogue of _circ_corr2d (same miscompile avoidance)."""
+    wd, wh, ww = ref_zm.shape[-3:]
+    c64 = jnp.complex64
+    wz = jnp.asarray(_dft_mat(wd))
+    wy = jnp.asarray(_dft_mat(wh))
+    wx = jnp.asarray(_dft_mat(ww))
+
+    def dft3(a):
+        f = jnp.einsum("ab,nbcd->nacd", wz, a.astype(c64))
+        f = jnp.einsum("cb,nabd->nacd", wy, f)
+        return jnp.einsum("db,nacb->nacd", wx, f)
+
+    cf = jnp.conj(dft3(ref_zm)) * dft3(tar_zm)
+    inv = jnp.einsum("ab,nbcd->nacd", jnp.conj(wz), cf)
+    inv = jnp.einsum("cb,nabd->nacd", jnp.conj(wy), inv)
+    inv = jnp.einsum("db,nacb->nacd", jnp.conj(wx), inv)
+    return jnp.real(inv) / (wd * wh * ww)
 
 
 def _slice2d(img, y0, x0, sh, sw):
@@ -66,36 +123,41 @@ def fftcc2d(
     tx0 = jnp.clip(txi - rx, 0, w - ww)
     ty0 = jnp.clip(tyi - ry, 0, h - wh)
 
-    gather = jax.vmap(_slice2d, in_axes=(None, 0, 0, None, None))
-    ref_w = gather(ref_img, ry0, rx0, wh, ww)  # [N, wh, ww]
-    tar_w = gather(tar_img, ty0, tx0, wh, ww)
+    if jax.default_backend() == "tpu":
+        from .pallas_gather2d import gather_windows_2d
+
+        ref_w = gather_windows_2d(ref_img, ry0, rx0, sh=wh, sw=ww)
+        tar_w = gather_windows_2d(tar_img, ty0, tx0, sh=wh, sw=ww)
+    else:
+        gather = jax.vmap(_slice2d, in_axes=(None, 0, 0, None, None))
+        ref_w = gather(ref_img, ry0, rx0, wh, ww)  # [N, wh, ww]
+        tar_w = gather(tar_img, ty0, tx0, wh, ww)
 
     ref_zm = ref_w - jnp.mean(ref_w, axis=(1, 2), keepdims=True)
     tar_zm = tar_w - jnp.mean(tar_w, axis=(1, 2), keepdims=True)
     ref_norm = jnp.sum(ref_zm * ref_zm, axis=(1, 2))
     tar_norm = jnp.sum(tar_zm * tar_zm, axis=(1, 2))
 
-    rf = jnp.fft.rfft2(ref_zm)
-    tf = jnp.fft.rfft2(tar_zm)
-    corr = jnp.fft.irfft2(jnp.conj(rf) * tf, s=(wh, ww))  # [N, wh, ww]
+    corr = _circ_corr2d(ref_zm, tar_zm)  # [N, wh, ww]
 
     flat = corr.reshape(n, wh * ww)
     idx = jnp.argmax(flat, axis=1)
 
-    # Exact peak re-rank (TPU determinism): the TPU f32 FFT carries enough
-    # last-bit noise to flip ~3% of near-tie correlation peaks vs the
-    # reference's FFTW path.  The true argmax is recoverable exactly for
-    # 8-bit images: over the circular window the zero-mean correction
-    # -S*mean_r*mean_t is shift-independent, so argmax_d corr_zm[d] =
-    # argmax_d sum(R * T_shift_d), an integer <= 2rx*2ry*255^2 < 2^31 that
-    # int32 computes exactly.  Re-evaluate the top-16 f32 candidates with the
-    # exact integer sum; exact ties take the first flat index in scan order,
-    # matching the reference's strict-> first-max loop (oc_fftcc.cpp:246-255).
-    # Non-integral images (nothing upstream produces them; guards generality)
-    # keep the f32 argmax.  Measured vs the oht_cfrp_4 golden u0/v0 on TPU:
-    # 96.65% exact match without the re-rank; 99.91% with top-4, 99.99% with
-    # top-16 (2/30000 residual — true f64-level ties where FFTW's own
-    # rounding picks the other bin, identical to a full-f64 replay).
+    # Exact peak re-rank: near-tie peaks can flip vs the reference's FFTW
+    # argmax (f32 noise ~1e-6 relative on an accurate surface; note the
+    # historical "~3% flips" were the _circ_corr2d-documented irfft2
+    # MISCOMPILE, not FFT rounding).  The true argmax is recoverable
+    # exactly for 8-bit images: over the circular window the zero-mean
+    # correction -S*mean_r*mean_t is shift-independent, so argmax_d
+    # corr_zm[d] = argmax_d sum(R * T_shift_d), an integer
+    # <= 2rx*2ry*255^2 < 2^31 that int32 computes exactly.  Re-evaluate
+    # the top-16 f32 candidates with the exact integer sum; exact ties
+    # take the first flat index in scan order, matching the reference's
+    # strict-> first-max loop (oc_fftcc.cpp:246-255).  Non-integral images
+    # keep the f32 argmax.  Measured vs the oht_cfrp_4 golden u0/v0 on
+    # TPU with the DFT-matmul surface: 99.97% exact match with the gated
+    # re-rank below (vs 99.99% re-ranking everything at ~10 s of device
+    # time — the residual is FFTW-side rounding on true near-ties).
     ri = jnp.round(ref_w)
     ti = jnp.round(tar_w)
     is_int = (
@@ -112,23 +174,58 @@ def fftcc2d(
     is_int = is_int & (cap < 0.99 * 2.0**31)
     ri_flat = ri.reshape(n, wh * ww).astype(jnp.int32)
     ti_flat = ti.reshape(n, wh * ww).astype(jnp.int32)
-    _, cand = jax.lax.top_k(flat, 16)  # [N, 16], first-occurrence tie order
+    topv, cand = jax.lax.top_k(flat, 16)  # [N, 16], first-occurrence ties
     yy, xx = jnp.divmod(jnp.arange(wh * ww, dtype=jnp.int32), ww)
-    scores = []
-    for j in range(16):
-        dv_j = (cand[:, j] // ww).astype(jnp.int32)
-        du_j = (cand[:, j] % ww).astype(jnp.int32)
-        src = ((yy[None, :] + dv_j[:, None]) % wh) * ww + (
-            (xx[None, :] + du_j[:, None]) % ww
-        )
-        tg = jnp.take_along_axis(ti_flat, src, axis=1)
-        scores.append(jnp.sum(ri_flat * tg, axis=1))
-    scores = jnp.stack(scores, axis=1)  # [N, 16] exact int32
-    best = jnp.max(scores, axis=1, keepdims=True)
-    idx_exact = jnp.min(
-        jnp.where(scores == best, cand, wh * ww), axis=1
-    ).astype(idx.dtype)
-    idx = jnp.where(is_int, idx_exact, idx)
+
+    def _rerank(ri_b, ti_b, cand_b):
+        """Exact int32 scores of the 16 candidates ([B, S] operands)."""
+        scores = []
+        for j in range(16):
+            dv_j = (cand_b[:, j] // ww).astype(jnp.int32)
+            du_j = (cand_b[:, j] % ww).astype(jnp.int32)
+            src = ((yy[None, :] + dv_j[:, None]) % wh) * ww + (
+                (xx[None, :] + du_j[:, None]) % ww
+            )
+            tg = jnp.take_along_axis(ti_b, src, axis=1)
+            scores.append(jnp.sum(ri_b * tg, axis=1))
+        scores = jnp.stack(scores, axis=1)  # [B, 16] exact int32
+        best = jnp.max(scores, axis=1, keepdims=True)
+        return jnp.min(
+            jnp.where(scores == best, cand_b, wh * ww), axis=1)
+
+    # The shifted-window gathers run at ~1 element/cycle on TPU — the full
+    # 16-candidate re-rank over a 30k queue cost ~10 s of REAL device time
+    # (round-5 jax.profiler; this WAS the FFTCC stage).  Only near-tie
+    # peaks can flip (f32 FFT noise is ~1e-6 relative), so re-rank a
+    # COMPACTED subset of POIs whose top-2 gap is under a 1e-3-relative
+    # safety margin (1000x the noise bound); clear winners keep the f32
+    # argmax, which the exact score then provably agrees with.  If more
+    # than the cap are near ties, escalate to the full re-rank (correct,
+    # just slow).
+    from .sift2d import _compact
+
+    near_tie = (topv[:, 0] - topv[:, 1]) <= 3e-3 * jnp.maximum(
+        jnp.abs(topv[:, 0]), 1e-20)
+    need = is_int & near_tie
+    n_need = jnp.sum(need)
+    # near-tie counts on the oht flagship pair (accurate DFT surface):
+    # 187 @ 1e-3, 585 @ 3e-3, 1028 @ 5e-3 — the 3e-3 gate under an n/16
+    # cap keeps seed parity at 99.99% without ever escalating there
+    capf = min(n, max(256, n // 16))
+
+    def _gated(i0):
+        idx_r, okr = _compact(need, capf)
+        ex = _rerank(ri_flat[idx_r], ti_flat[idx_r], cand[idx_r])
+        ex = jnp.where(okr, ex, i0[idx_r])
+        return i0.at[idx_r].set(ex.astype(i0.dtype))
+
+    def _full(i0):
+        return jnp.where(is_int,
+                         _rerank(ri_flat, ti_flat, cand).astype(i0.dtype),
+                         i0)
+
+    idx = jax.lax.cond(n_need > 0, _gated, lambda i0: i0, idx)
+    idx = jax.lax.cond(n_need > capf, _full, lambda i0: i0, idx)
 
     peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
     du = (idx % ww).astype(jnp.int32)
@@ -215,9 +312,7 @@ def fftcc3d(
     ref_norm = jnp.sum(ref_zm * ref_zm, axis=(1, 2, 3))
     tar_norm = jnp.sum(tar_zm * tar_zm, axis=(1, 2, 3))
 
-    rf = jnp.fft.rfftn(ref_zm, axes=(1, 2, 3))
-    tf = jnp.fft.rfftn(tar_zm, axes=(1, 2, 3))
-    corr = jnp.fft.irfftn(jnp.conj(rf) * tf, s=(wz, wy, wx), axes=(1, 2, 3))
+    corr = _circ_corr3d(ref_zm, tar_zm)
 
     flat = corr.reshape(n, wz * wy * wx)
     idx = jnp.argmax(flat, axis=1)
