@@ -31,12 +31,15 @@ def _merge_result(t, p_out, u0, v0, zncc, it, dpn, computed, rx, ry,
     return t.replace(p=p_out, r=r, sr=sr)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "rx", "ry"))
-def _iclm2d_full(gx, gy, ref_img, tar_lut, t, conv, max_iter, damping,
-                 *, order, rx, ry):
+@functools.partial(jax.jit, static_argnames=("order", "rx", "ry",
+                                             "window_margin", "eval_mode"))
+def _iclm2d_full(gx, gy, ref_img, tar_lut, tar_img, t, conv, max_iter,
+                 damping, *, order, rx, ry, window_margin=None,
+                 eval_mode="lattice"):
     outs = iclm_ops.iclm2d(
         gx, gy, ref_img, tar_lut, t.x, t.y, t.p, t.r[:, poi_mod.R_ZNCC],
-        conv, max_iter, damping, order=order, rx=rx, ry=ry)
+        conv, max_iter, damping, tar_img, order=order, rx=rx, ry=ry,
+        window_margin=window_margin, eval_mode=eval_mode)
     return _merge_result(t, *outs, rx, ry)
 
 
@@ -55,11 +58,19 @@ class _ICLM2DBase(base.Module2D):
 
     def __init__(self, subset_radius_x: int, subset_radius_y: int,
                  conv_criterion: float = 0.001, stop_condition: float = 10,
-                 chunk_size: Optional[int] = 65536):
+                 chunk_size: Optional[int] = 65536,
+                 window_margin: Optional[int] = 8,
+                 eval_mode: str = "lattice"):
+        """``window_margin``/``eval_mode``: gather-free windowed lattice
+        interpolation by default (ops/icgn.make_windowed_eval2d; the
+        global tile-LUT gather measured ~5.7 s of real device time at the
+        30k flagship queue).  None restores the global LUT path."""
         super().__init__(subset_radius_x, subset_radius_y)
         self.conv_criterion = float(conv_criterion)
         self.stop_condition = float(stop_condition)
         self.chunk_size = chunk_size
+        self.window_margin = window_margin
+        self.eval_mode = eval_mode
         # DampingParameter defaults (oc_iclm.h:32-37)
         self.damping_lambda = 100.0
         self.damping_alpha = 0.1
@@ -90,7 +101,14 @@ class _ICLM2DBase(base.Module2D):
             return self._compute_adaptive(table)
         rx, ry = self.subset_radius_x, self.subset_radius_y
         order = self.order
-        consts = (self._gx, self._gy, self.ref_img, self._lut) + self._memo.get(
+        margin = self.window_margin
+        mode = self.eval_mode
+        if margin is not None:
+            h, w = self.ref_img.shape
+            if min(w - 2 * rx, h - 2 * ry) - 1 < 2 * margin:
+                margin = None  # image smaller than the window: global path
+        consts = (self._gx, self._gy, self.ref_img, self._lut,
+                  self.tar_img) + self._memo.get(
             (self.conv_criterion, self.stop_condition, self.damping_lambda,
              self.damping_alpha, self.damping_beta),
             lambda: (jnp.float32(self.conv_criterion),
@@ -98,10 +116,11 @@ class _ICLM2DBase(base.Module2D):
                      jnp.array([self.damping_lambda, self.damping_alpha,
                                 self.damping_beta], jnp.float32)))
 
-        def run(t, gx, gy, ref_img, lut, conv, max_iter, damping):
-            return _iclm2d_full(gx, gy, ref_img, lut,
+        def run(t, gx, gy, ref_img, lut, tar_img, conv, max_iter, damping):
+            return _iclm2d_full(gx, gy, ref_img, lut, tar_img,
                                 t, conv, max_iter, damping,
-                                order=order, rx=rx, ry=ry)
+                                order=order, rx=rx, ry=ry,
+                                window_margin=margin, eval_mode=mode)
 
         return base.chunked(run, table, base.budget_chunk(
             self.chunk_size, rx, ry), consts=consts)

@@ -62,6 +62,143 @@ def _gather2d(img, x0, y0, rx, ry):
         img, y0, x0, sh=2 * ry + 1, sw=2 * rx + 1)
 
 
+def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
+                         margin):
+    """Factory for the gather-free windowed-lattice 2D interpolation used
+    by the iterative refiners (IC-GN here; ICLM/NR reuse it — any
+    "evaluate a warped subset through a bicubic LUT each iteration" loop
+    has the same structure, including LUTs of gradient images).
+
+    ``img``/``lut``: the image being sampled and its exact per-pixel tile
+    LUT (the compacted-correction / escalation fallback).  ``cx``/``cy``:
+    per-POI subset centers (float, including any stereo center offset);
+    ``u_seed``/``v_seed``: the seeded displacement the windows are
+    centered on.  Returns ``eval_tar(gxc, gyc, active) -> [N, S]`` with
+    the reference's -1 out-of-range sentinel; samples leaving their
+    (r+margin) window read as out-of-range, which only happens when the
+    solver has wandered > margin-2 px past the seed.
+    """
+    f32 = jnp.float32
+    h, w = img.shape
+    n = cx.shape[0]
+    sh, sw = 2 * ry + 1, 2 * rx + 1
+    s = sh * sw
+    # Per-POI target-IMAGE windows around the seeded center, padded
+    # 1+D per side (the 3D lesson: an edge-clipped window shifts every
+    # lattice placement out of range and spuriously triggers the
+    # whole-chunk fallback).
+    mx, my = rx + margin, ry + margin
+    swx, swy = 2 * mx + 1, 2 * my + 1
+    wcx = jnp.clip(jnp.floor(cx + u_seed).astype(jnp.int32) - mx,
+                   0, w - swx)
+    wcy = jnp.clip(jnp.floor(cy + v_seed).astype(jnp.int32) - my,
+                   0, h - swy)
+    # D=2 with a FIXED base from the seeded center: the extended block
+    # is gathered ONCE per compute (the per-iteration vmapped slice
+    # cost ~45 ms at 30k POIs), and the [0, 2D] placement range
+    # absorbs up to ~2 px of combined solver drift + strain deviation
+    # before the compacted correction kicks in.
+    D = 2
+    pw = 1 + D
+    wlat = 4 + 2 * D
+    elx, ely = sw + wlat - 1, sh + wlat - 1
+    wcxf = wcx.astype(f32)[:, None]
+    wcyf = wcy.astype(f32)[:, None]
+    iixf = jnp.tile(jnp.arange(sw, dtype=jnp.int32), sh)  # x fastest
+    iiyf = jnp.repeat(jnp.arange(sh, dtype=jnp.int32), sw)
+    interp = jax.default_backend() != "tpu"
+    # correction-subset cap: covers a few percent of wobbled POIs
+    CAP2D = min(n, max(256, n // 32))
+    # Seed-centered lattice base in PADDED-window coords.  The block is
+    # gathered straight from the image at (wc - pw + b0): the 1+D pad
+    # only exists so edge bases stay unclipped — valid samples' taps
+    # never reach it (min tap = floor-1 >= 0 under the window-exit
+    # test), so real pixels there are as good as the old zero pad.
+    # The base bounds keep the gather corner inside the image;
+    # image-edge POIs whose base rises above the seed-centered value
+    # simply route through the compacted correction.
+    seed_cx = jnp.floor(cx + u_seed).astype(jnp.int32) - wcx
+    seed_cy = jnp.floor(cy + v_seed).astype(jnp.int32) - wcy
+    bx0 = jnp.clip(seed_cx + pw - rx - 1 - D,
+                   jnp.maximum(0, pw - wcx),
+                   jnp.minimum(swx + 2 * pw - elx, w - elx + pw - wcx))
+    by0 = jnp.clip(seed_cy + pw - ry - 1 - D,
+                   jnp.maximum(0, pw - wcy),
+                   jnp.minimum(swy + 2 * pw - ely, h - ely + pw - wcy))
+    eblk = gather2d.gather_windows_2d(
+        img, wcy - pw + by0, wcx - pw + bx0, sh=ely, sw=elx,
+        interpret=interp)
+
+    def eval_tar(gxc, gyc, active):
+        # global range guard — the EXACT float comparisons the LUT
+        # path runs (bspline.bicubic_eval); local-domain tests are
+        # int32-only (the round-3 miscompile lesson, ops/bspline.py)
+        oob_g = (
+            (gxc < 1) | (gyc < 1) | (gxc >= w - 2) | (gyc >= h - 2)
+            | jnp.isnan(gxc) | jnp.isnan(gyc)
+        )
+        lx = jnp.where(oob_g, f32(2.0), gxc - wcxf)
+        ly = jnp.where(oob_g, f32(2.0), gyc - wcyf)
+        exf = jnp.floor(jnp.clip(lx, -9.0, swx + 9.0)).astype(jnp.int32)
+        eyf = jnp.floor(jnp.clip(ly, -9.0, swy + 9.0)).astype(jnp.int32)
+        oob = (
+            oob_g
+            | (exf < 1) | (exf > swx - 3)
+            | (eyf < 1) | (eyf > swy - 3)
+        )
+        # flat [N, S] math throughout (a [N, 33, 33] layout pads its
+        # 33-lane trailing dim 4x; only the kernel boundary reshapes)
+        fxf = lx - exf.astype(f32)
+        fyf = ly - eyf.astype(f32)
+        pdx = exf + pw - 1 - bx0[:, None] - iixf[None, :]
+        pdy = eyf + pw - 1 - by0[:, None] - iiyf[None, :]
+        pdx = jnp.where(oob, -1, pdx)
+        pdy = jnp.where(oob, -1, pdy)
+        doomed = jnp.any(oob, axis=1)
+        # Only ACTIVE POIs need exact values: a frozen POI (converged,
+        # failed, or invalid from entry) still evaluates every
+        # iteration, but its values are discarded by the step mask.
+        wobble = (
+            (pdx < 0) | (pdx > 2 * D) | (pdy < 0) | (pdy > 2 * D)
+        ) & ~oob & (~doomed & active)[:, None]
+        wob_poi = jnp.any(wobble, axis=1)
+        n_wob = jnp.sum(wob_poi)
+
+        r3 = lambda a: a.reshape(n, sh, sw)
+        val = lattice_eval_2d(
+            eblk, r3(pdy), r3(pdx), r3(fyf), r3(fxf), d_wobble=D,
+            interpret=interp)
+        val = jnp.where(oob, f32(-1.0), val.reshape(n, s))
+
+        # Wobbled POIs (high local strain / large solver drift — e.g.
+        # the oht hole boundary, ~2% of that queue) are corrected with
+        # the exact LUT eval on a COMPACTED fixed-size subset instead of
+        # dragging the whole chunk onto the 17M-samples/s gather (a
+        # whole-chunk lax.cond cost ~0.5 s/iteration whenever ANY steep
+        # POI was still active).  If more than CAP POIs wobble, the
+        # whole chunk falls back — correct for any deformation, slow.
+        from .sift2d import _compact
+
+        def _correct(v):
+            idx, okc = _compact(wob_poi, CAP2D)
+            vals, _u = bspline.bicubic_eval(lut, gxc[idx], gyc[idx])
+            vals = jnp.where(oob[idx], f32(-1.0), vals)
+            # padding rows of the compaction carry okc=False and a
+            # clamped duplicate index — they write back v[idx], a
+            # no-op even under scatter duplication
+            vals = jnp.where(okc[:, None], vals, v[idx])
+            return v.at[idx].set(vals)
+
+        def _full(v):
+            tval, _unused = bspline.bicubic_eval(lut, gxc, gyc)
+            return jnp.where(oob, f32(-1.0), tval).reshape(n, s)
+
+        val = jax.lax.cond(n_wob > 0, _correct, lambda v: v, val)
+        return jax.lax.cond(n_wob > CAP2D, _full, lambda v: v, val)
+
+    return eval_tar
+
+
 @functools.partial(
     jax.jit, static_argnames=("order", "rx", "ry", "window_margin",
                               "eval_mode")
@@ -194,120 +331,9 @@ def icgn2d(
     tar_cy = ys + oy
 
     if window_margin is not None and eval_mode == "lattice":
-        # Per-POI target-IMAGE windows around the seeded center, padded
-        # 1+D per side (the 3D lesson: an edge-clipped window shifts every
-        # lattice placement out of range and spuriously triggers the
-        # whole-chunk fallback).
-        mx, my = rx + window_margin, ry + window_margin
-        swx, swy = 2 * mx + 1, 2 * my + 1
-        wcx = jnp.clip(jnp.floor(tar_cx + u_in).astype(jnp.int32) - mx,
-                       0, w - swx)
-        wcy = jnp.clip(jnp.floor(tar_cy + v_in).astype(jnp.int32) - my,
-                       0, h - swy)
-        # D=2 with a FIXED base from the seeded center: the extended block
-        # is gathered ONCE per compute (the per-iteration vmapped slice
-        # cost ~45 ms at 30k POIs), and the [0, 2D] placement range
-        # absorbs up to ~2 px of combined GN drift + strain deviation
-        # before the compacted correction kicks in.
-        D = 2
-        pw = 1 + D
-        wlat = 4 + 2 * D
-        elx, ely = sw + wlat - 1, sh + wlat - 1
-        wcxf = wcx.astype(f32)[:, None]
-        wcyf = wcy.astype(f32)[:, None]
-        iixf = jnp.tile(jnp.arange(sw, dtype=jnp.int32), sh)  # x fastest
-        iiyf = jnp.repeat(jnp.arange(sh, dtype=jnp.int32), sw)
-        interp = jax.default_backend() != "tpu"
-        # correction-subset cap: covers a few percent of wobbled POIs
-        CAP2D = min(n, max(256, n // 32))
-        # Seed-centered lattice base in PADDED-window coords.  The block is
-        # gathered straight from the image at (wc - pw + b0): the 1+D pad
-        # only exists so edge bases stay unclipped — valid samples' taps
-        # never reach it (min tap = floor-1 >= 0 under the window-exit
-        # test), so real pixels there are as good as the old zero pad.
-        # The base bounds keep the gather corner inside the image;
-        # image-edge POIs whose base rises above the seed-centered value
-        # simply route through the compacted correction.
-        seed_cx = jnp.floor(tar_cx + u_in).astype(jnp.int32) - wcx
-        seed_cy = jnp.floor(tar_cy + v_in).astype(jnp.int32) - wcy
-        bx0 = jnp.clip(seed_cx + pw - rx - 1 - D,
-                       jnp.maximum(0, pw - wcx),
-                       jnp.minimum(swx + 2 * pw - elx, w - elx + pw - wcx))
-        by0 = jnp.clip(seed_cy + pw - ry - 1 - D,
-                       jnp.maximum(0, pw - wcy),
-                       jnp.minimum(swy + 2 * pw - ely, h - ely + pw - wcy))
-        eblk = gather2d.gather_windows_2d(
-            tar_img, wcy - pw + by0, wcx - pw + bx0, sh=ely, sw=elx,
-            interpret=interp)
-
-        def eval_tar(gxc, gyc, active):
-            # global range guard — the EXACT float comparisons the LUT
-            # path runs (bspline.bicubic_eval); local-domain tests are
-            # int32-only (the round-3 miscompile lesson, ops/bspline.py)
-            oob_g = (
-                (gxc < 1) | (gyc < 1) | (gxc >= w - 2) | (gyc >= h - 2)
-                | jnp.isnan(gxc) | jnp.isnan(gyc)
-            )
-            lx = jnp.where(oob_g, f32(2.0), gxc - wcxf)
-            ly = jnp.where(oob_g, f32(2.0), gyc - wcyf)
-            exf = jnp.floor(jnp.clip(lx, -9.0, swx + 9.0)).astype(jnp.int32)
-            eyf = jnp.floor(jnp.clip(ly, -9.0, swy + 9.0)).astype(jnp.int32)
-            oob = (
-                oob_g
-                | (exf < 1) | (exf > swx - 3)
-                | (eyf < 1) | (eyf > swy - 3)
-            )
-            # flat [N, S] math throughout (a [N, 33, 33] layout pads its
-            # 33-lane trailing dim 4x; only the kernel boundary reshapes)
-            fxf = lx - exf.astype(f32)
-            fyf = ly - eyf.astype(f32)
-            pdx = exf + pw - 1 - bx0[:, None] - iixf[None, :]
-            pdy = eyf + pw - 1 - by0[:, None] - iiyf[None, :]
-            pdx = jnp.where(oob, -1, pdx)
-            pdy = jnp.where(oob, -1, pdy)
-            doomed = jnp.any(oob, axis=1)
-            # Only ACTIVE POIs need exact values: a frozen POI (converged,
-            # failed, or invalid from entry) still evaluates every
-            # iteration, but its values are discarded by the step mask.
-            wobble = (
-                (pdx < 0) | (pdx > 2 * D) | (pdy < 0) | (pdy > 2 * D)
-            ) & ~oob & (~doomed & active)[:, None]
-            wob_poi = jnp.any(wobble, axis=1)
-            n_wob = jnp.sum(wob_poi)
-
-            r3 = lambda a: a.reshape(n, sh, sw)
-            val = lattice_eval_2d(
-                eblk, r3(pdy), r3(pdx), r3(fyf), r3(fxf), d_wobble=D,
-                interpret=interp)
-            val = jnp.where(oob, f32(-1.0), val.reshape(n, s))
-
-            # Wobbled POIs (high local strain / large GN drift — e.g. the
-            # oht hole boundary, ~2% of that queue) are corrected with the
-            # exact LUT eval on a COMPACTED fixed-size subset instead of
-            # dragging the whole chunk onto the 17M-samples/s gather (the
-            # round-4-style whole-chunk lax.cond cost ~0.5 s/iteration
-            # whenever ANY steep POI was still active).  If more than CAP
-            # POIs wobble, the whole chunk falls back — correct for any
-            # deformation, just slow.
-            from .sift2d import _compact
-
-            def _correct(v):
-                idx, okc = _compact(wob_poi, CAP2D)
-                vals, _u = bspline.bicubic_eval(
-                    tar_lut, gxc[idx], gyc[idx])
-                vals = jnp.where(oob.reshape(n, s)[idx], f32(-1.0), vals)
-                # padding rows of the compaction carry okc=False and a
-                # clamped duplicate index — they write back v[idx], a
-                # no-op even under scatter duplication
-                vals = jnp.where(okc[:, None], vals, v[idx])
-                return v.at[idx].set(vals)
-
-            def _full(v):
-                tval, _unused = bspline.bicubic_eval(tar_lut, gxc, gyc)
-                return jnp.where(oob, f32(-1.0), tval).reshape(n, s)
-
-            val = jax.lax.cond(n_wob > 0, _correct, lambda v: v, val)
-            return jax.lax.cond(n_wob > CAP2D, _full, lambda v: v, val)
+        eval_tar = make_windowed_eval2d(
+            tar_img, tar_lut, tar_cx, tar_cy, u_in, v_in,
+            rx=rx, ry=ry, margin=window_margin)
     else:
         def eval_tar(gxc, gyc, active):
             tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)

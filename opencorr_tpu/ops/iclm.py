@@ -22,11 +22,12 @@ import jax
 import jax.numpy as jnp
 
 from . import bspline, linalg as linalg_ops, warp as warp_ops
-from .icgn import gather_subsets_2d
+from .icgn import gather_subsets_2d, make_windowed_eval2d
 from ..utils.precision import highest_precision
 
 
-@functools.partial(jax.jit, static_argnames=("order", "rx", "ry"))
+@functools.partial(jax.jit, static_argnames=("order", "rx", "ry",
+                                             "window_margin", "eval_mode"))
 @highest_precision
 def iclm2d(
     gx: jnp.ndarray,
@@ -40,10 +41,13 @@ def iclm2d(
     conv: jnp.ndarray,
     max_iter: jnp.ndarray,
     damping: jnp.ndarray,  # [3] (lambda, alpha, beta)
+    tar_img=None,
     *,
     order: int,
     rx: int,
     ry: int,
+    window_margin=None,
+    eval_mode: str = "lattice",
 ):
     """Returns (p_out[N,12], u0, v0, zncc, iteration, convergence, computed)."""
     h, w = ref_img.shape
@@ -113,6 +117,22 @@ def iclm2d(
         dp_w = jnp.array(
             [1.0, rx2, ry2, rx4, rxy2, ry4, 1.0, rx2, ry2, rx4, rxy2, ry4], f32)
 
+    if window_margin is not None and eval_mode == "lattice":
+        # Gather-free windowed-lattice interpolation (see ops/icgn.py's
+        # factory; round-5 device profiling measured the global tile-LUT
+        # gather at ~0.55 s per iteration at the 30k flagship queue).
+        # Semantic note: unlike IC-GN, the reference IC-LM blends -1
+        # sentinels into the cost instead of aborting; with windows, a
+        # sample that leaves its (r+margin) window also reads -1 — that
+        # only happens once LM has wandered > margin-2 px past the seed.
+        eval_tar = make_windowed_eval2d(
+            tar_img, tar_lut, xs, ys, p_in[:, 0], p_in[:, 6],
+            rx=rx, ry=ry, margin=window_margin)
+    else:
+        def eval_tar(gxc, gyc, active):
+            tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)
+            return tval
+
     lam0, alpha, beta = damping[0], damping[1], damping[2]
     eye = jnp.eye(k, dtype=f32)
 
@@ -130,7 +150,7 @@ def iclm2d(
             wxy = jnp.einsum("nrc,nsc->nsr", wmat[:, 3:5, :], pv)
         gxc = xs[:, None] + wxy[..., 0]
         gyc = ys[:, None] + wxy[..., 1]
-        tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)
+        tval = eval_tar(gxc, gyc, active)
 
         tar_zm = tval - jnp.mean(tval, axis=1, keepdims=True)
         tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))

@@ -18,11 +18,12 @@ import jax
 import jax.numpy as jnp
 
 from . import bspline, linalg as linalg_ops
-from .icgn import gather_subsets_2d
+from .icgn import gather_subsets_2d, make_windowed_eval2d
 from ..utils.precision import highest_precision
 
 
-@functools.partial(jax.jit, static_argnames=("rx", "ry"))
+@functools.partial(jax.jit, static_argnames=("rx", "ry", "window_margin",
+                                             "eval_mode"))
 @highest_precision
 def nr2d1(
     ref_img: jnp.ndarray,
@@ -35,9 +36,14 @@ def nr2d1(
     zncc_in: jnp.ndarray,
     conv: jnp.ndarray,
     max_iter: jnp.ndarray,
+    tar_img=None,
+    tar_gx_img=None,
+    tar_gy_img=None,
     *,
     rx: int,
     ry: int,
+    window_margin=None,
+    eval_mode: str = "lattice",
 ):
     """Returns (p_out[N,12], u0, v0, zncc, iteration, convergence, computed)."""
     h, w = ref_img.shape
@@ -75,28 +81,62 @@ def nr2d1(
     rx2, ry2 = f32(rx * rx), f32(ry * ry)
     dp_w = jnp.array([1.0, rx2, ry2, 1.0, rx2, ry2], f32)
 
+    if window_margin is not None and eval_mode == "lattice":
+        # NR re-samples the target AND its gradient maps each iteration:
+        # three windowed-lattice evals (the factory works for any
+        # (image, LUT) pair — gradient images included).  The global LUT
+        # gathers measured ~17.9 s of real device time at the flagship
+        # queue (3 evals x ~0.55 s x ~10 iterations).
+        mk = lambda img, lut: make_windowed_eval2d(
+            img, lut, xs, ys, u_in, v_in, rx=rx, ry=ry,
+            margin=window_margin)
+        ev_t = mk(tar_img, tar_lut)
+        ev_gx = mk(tar_gx_img, tar_lut_gx)
+        ev_gy = mk(tar_gy_img, tar_lut_gy)
+    else:
+        def _mk(lut):
+            def ev(gxc, gyc, active):
+                tval, _ = bspline.bicubic_eval(lut, gxc, gyc)
+                return tval
+            return ev
+        ev_t, ev_gx, ev_gy = _mk(tar_lut), _mk(tar_lut_gx), _mk(tar_lut_gy)
+
+    # sd channels are tg * monomial: keep the Hessian/numerator as fused
+    # VPU reductions (the per-iteration [N,S,6] einsums were MXU-row-bound
+    # and HBM-heavy; ops/icgn.py has the same structure)
+    monos6 = (None, None)  # placeholder, rebuilt per iteration below
+
     def body(state):
         p6, active, it, dpn, znssd_out = state
         # Forward warp of the local grid with the current parameters.
         u, ux, uy, v, vx, vy = (p6[:, i, None] for i in range(6))
         gxc = xs[:, None] + (1.0 + ux) * xl + uy * yl + u
         gyc = ys[:, None] + vx * xl + (1.0 + vy) * yl + v
-        tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)
-        tgx, _ = bspline.bicubic_eval(tar_lut_gx, gxc, gyc)
-        tgy, _ = bspline.bicubic_eval(tar_lut_gy, gxc, gyc)
+        tval = ev_t(gxc, gyc, active)
+        tgx = ev_gx(gxc, gyc, active)
+        tgy = ev_gy(gxc, gyc, active)
 
         tar_zm = tval - jnp.mean(tval, axis=1, keepdims=True)
         tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
 
-        sd = jnp.stack([tgx, tgx * xl, tgx * yl, tgy, tgy * xl, tgy * yl], -1)
-        hess = jnp.einsum("nsi,nsj->nij", sd, sd)
+        def sd_ch(i, base):
+            g = tgx if i < 3 else tgy
+            m = (None, xl, yl)[i % 3]
+            return g * base if m is None else g * m * base
+
+        hess = jnp.stack(
+            [jnp.stack(
+                [jnp.sum(sd_ch(i, sd_ch(j, jnp.ones_like(tgx))), axis=1)
+                 for j in range(6)], -1)
+             for i in range(6)], -2)
         hinv = linalg_ops.inv_small(hess)
 
         # error image and ZNSSD use the *target* norm (oc_nr.cpp:246-249)
         err = ref_zm * (tn / rn)[:, None] - tar_zm
         znssd = jnp.sum(err * err, axis=1) / (tn * tn)
 
-        num = jnp.einsum("nsi,ns->ni", sd, err)
+        num = jnp.stack(
+            [jnp.sum(sd_ch(i, err), axis=1) for i in range(6)], -1)
         dp = jnp.einsum("nij,nj->ni", hinv, num)
         p6_new = p6 + dp  # forward-additive (oc_nr.cpp:276-277)
         dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
