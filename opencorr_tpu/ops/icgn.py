@@ -40,6 +40,11 @@ from .pallas_lattice2d import lattice_eval_2d
 from ..utils.precision import highest_precision
 
 
+# Queue width above which the 2D GN loop runs two-phase: full width until
+# <= 1/4 of the POIs are active, then a compacted quarter-width tail.
+_COMPACT_MIN = 4096
+
+
 def _slice2d(img, y0, x0, sh, sw):
     return jax.lax.dynamic_slice(img, (y0, x0), (sh, sw))
 
@@ -62,8 +67,25 @@ def _gather2d(img, x0, y0, rx, ry):
         img, y0, x0, sh=2 * ry + 1, sw=2 * rx + 1)
 
 
-def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
-                         margin):
+def compact_idx(mask: jnp.ndarray, k: int):
+    """Indices of the first k set bits of ``mask`` in scan order.
+
+    Returns ``(gi, si, ok)``: ``gi`` [k] int32 gather indices (clamped
+    in-range duplicates on padding slots), ``si`` [k] int32 scatter
+    indices (= n on padding slots so ``.at[si].set(..., mode="drop")``
+    discards them — no duplicate-index nondeterminism), ``ok`` [k] bool.
+    Cumsum + searchsorted like sift2d._compact (scatter-free)."""
+    n = mask.shape[0]
+    cs = jnp.cumsum(mask.astype(jnp.int32))
+    raw = jnp.searchsorted(
+        cs, jnp.arange(1, k + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    ok = jnp.arange(k) < cs[-1]
+    return jnp.minimum(raw, n - 1), jnp.where(ok, raw, n), ok
+
+
+def make_windowed_eval2d_state(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
+                               margin):
     """Factory for the gather-free windowed-lattice 2D interpolation used
     by the iterative refiners (IC-GN here; ICLM/NR reuse it — any
     "evaluate a warped subset through a bicubic LUT each iteration" loop
@@ -73,14 +95,15 @@ def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
     LUT (the compacted-correction / escalation fallback).  ``cx``/``cy``:
     per-POI subset centers (float, including any stereo center offset);
     ``u_seed``/``v_seed``: the seeded displacement the windows are
-    centered on.  Returns ``eval_tar(gxc, gyc, active) -> [N, S]`` with
-    the reference's -1 out-of-range sentinel; samples leaving their
+    centered on.  Returns ``(state, eval_fn)``: ``state`` is a dict of
+    per-POI arrays (leading axis N) so callers can index-compact it, and
+    ``eval_fn(state, gxc, gyc, active) -> [N', S]`` evaluates with the
+    reference's -1 out-of-range sentinel; samples leaving their
     (r+margin) window read as out-of-range, which only happens when the
     solver has wandered > margin-2 px past the seed.
     """
     f32 = jnp.float32
     h, w = img.shape
-    n = cx.shape[0]
     sh, sw = 2 * ry + 1, 2 * rx + 1
     s = sh * sw
     # Per-POI target-IMAGE windows around the seeded center, padded
@@ -102,13 +125,9 @@ def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
     pw = 1 + D
     wlat = 4 + 2 * D
     elx, ely = sw + wlat - 1, sh + wlat - 1
-    wcxf = wcx.astype(f32)[:, None]
-    wcyf = wcy.astype(f32)[:, None]
     iixf = jnp.tile(jnp.arange(sw, dtype=jnp.int32), sh)  # x fastest
     iiyf = jnp.repeat(jnp.arange(sh, dtype=jnp.int32), sw)
     interp = jax.default_backend() != "tpu"
-    # correction-subset cap: covers a few percent of wobbled POIs
-    CAP2D = min(n, max(256, n // 32))
     # Seed-centered lattice base in PADDED-window coords.  The block is
     # gathered straight from the image at (wc - pw + b0): the 1+D pad
     # only exists so edge bases stay unclipped — valid samples' taps
@@ -128,8 +147,22 @@ def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
     eblk = gather2d.gather_windows_2d(
         img, wcy - pw + by0, wcx - pw + bx0, sh=ely, sw=elx,
         interpret=interp)
+    state = dict(wcxf=wcx.astype(f32), wcyf=wcy.astype(f32),
+                 bx0=bx0, by0=by0, eblk=eblk)
+    # correction-subset cap: covers a few percent of wobbled POIs.  Sized
+    # at the FACTORY width: the compacted-tail phase concentrates exactly
+    # the wobbled (high-strain) POIs, so a width-proportional cap there
+    # would overflow and drag every tail iteration onto the whole-chunk
+    # exact fallback (measured +0.5 s on the flagship queue).
+    n0 = cx.shape[0]
+    CAP0 = min(n0, max(256, n0 // 32))
 
-    def eval_tar(gxc, gyc, active):
+    def eval_fn(st, gxc, gyc, active):
+        n = gxc.shape[0]
+        CAP2D = min(n, CAP0)
+        wcxf = st["wcxf"][:, None]
+        wcyf = st["wcyf"][:, None]
+        bx0, by0, eblk = st["bx0"], st["by0"], st["eblk"]
         # global range guard — the EXACT float comparisons the LUT
         # path runs (bspline.bicubic_eval); local-domain tests are
         # int32-only (the round-3 miscompile lesson, ops/bspline.py)
@@ -177,17 +210,12 @@ def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
         # whole-chunk lax.cond cost ~0.5 s/iteration whenever ANY steep
         # POI was still active).  If more than CAP POIs wobble, the
         # whole chunk falls back — correct for any deformation, slow.
-        from .sift2d import _compact
-
         def _correct(v):
-            idx, okc = _compact(wob_poi, CAP2D)
-            vals, _u = bspline.bicubic_eval(lut, gxc[idx], gyc[idx])
-            vals = jnp.where(oob[idx], f32(-1.0), vals)
-            # padding rows of the compaction carry okc=False and a
-            # clamped duplicate index — they write back v[idx], a
-            # no-op even under scatter duplication
-            vals = jnp.where(okc[:, None], vals, v[idx])
-            return v.at[idx].set(vals)
+            gi, si, okc = compact_idx(wob_poi, CAP2D)
+            vals, _u = bspline.bicubic_eval(lut, gxc[gi], gyc[gi])
+            vals = jnp.where(oob[gi], f32(-1.0), vals)
+            # padding rows scatter out of range and are dropped
+            return v.at[si].set(vals, mode="drop")
 
         def _full(v):
             tval, _unused = bspline.bicubic_eval(lut, gxc, gyc)
@@ -196,7 +224,15 @@ def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
         val = jax.lax.cond(n_wob > 0, _correct, lambda v: v, val)
         return jax.lax.cond(n_wob > CAP2D, _full, lambda v: v, val)
 
-    return eval_tar
+    return state, eval_fn
+
+
+def make_windowed_eval2d(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
+                         margin):
+    """Closure form of :func:`make_windowed_eval2d_state` (ICLM/NR)."""
+    st, fn = make_windowed_eval2d_state(
+        img, lut, cx, cy, u_seed, v_seed, rx=rx, ry=ry, margin=margin)
+    return lambda gxc, gyc, active: fn(st, gxc, gyc, active)
 
 
 @functools.partial(
@@ -331,11 +367,13 @@ def icgn2d(
     tar_cy = ys + oy
 
     if window_margin is not None and eval_mode == "lattice":
-        eval_tar = make_windowed_eval2d(
+        ev_state, ev_fn = make_windowed_eval2d_state(
             tar_img, tar_lut, tar_cx, tar_cy, u_in, v_in,
             rx=rx, ry=ry, margin=window_margin)
     else:
-        def eval_tar(gxc, gyc, active):
+        ev_state = {}
+
+        def ev_fn(st, gxc, gyc, active):
             tval, _ = bspline.bicubic_eval(tar_lut, gxc, gyc)
             return tval
 
@@ -354,52 +392,76 @@ def icgn2d(
             [1.0, rx2, ry2, rx4, rxy2, ry4, 1.0, rx2, ry2, rx4, rxy2, ry4], f32
         )
 
-    def body(state):
-        wmat, active, it, dpn, znssd, oob_fail = state
-        # Warp the local grid (oc_deformation.cpp:94-105 / :268-282) with
-        # explicit FMAs: the einsum form materialized a [N, S, 3|6] basis
-        # stack (393 MB/iteration at the flagship queue) and ran as MXU
-        # rows.
+    # Per-POI loop constants as an indexable pytree: the two-phase
+    # active-set compaction below gathers a shrunken copy of everything
+    # the GN body reads, so straggler iterations stop paying full queue
+    # width (most POIs converge in ~4 iterations; -4 stragglers run 10).
+    cc = dict(tcx=tar_cx, tcy=tar_cy, xl=xl, yl=yl, gxs=gxs, gys=gys,
+              ref_zm=ref_zm, rn=rn, hinv=hinv, ev=ev_state)
+
+    def make_body(cc):
+        xl, yl = cc["xl"], cc["yl"]
+        gxs, gys = cc["gxs"], cc["gys"]
+        ref_zm, rn, hinv = cc["ref_zm"], cc["rn"], cc["hinv"]
+        tcx, tcy = cc["tcx"], cc["tcy"]
         if order == 1:
-            rows = wmat[:, :2, :]
-            basis = (xl, yl, None)  # None = the constant-1 column
+            monos = (None, xl, yl)
         else:
-            rows = wmat[:, 3:5, :]
-            basis = (xl * xl, xl * yl, yl * yl, xl, yl, None)
+            monos = (None, xl, yl, xl * xl * 0.5, xl * yl, yl * yl * 0.5)
 
-        def wrow(r):
-            acc = rows[:, r, len(basis) - 1][:, None]
-            for c, b in enumerate(basis[:-1]):
-                acc = acc + rows[:, r, c][:, None] * b
-            return acc
+        def _sd_ch(i, base):
+            g = gxs if i < nm else gys
+            m = monos[i % nm]
+            return g * base if m is None else g * m * base
 
-        gx_c = tar_cx[:, None] + wrow(0)
-        gy_c = tar_cy[:, None] + wrow(1)
-        tval = eval_tar(gx_c, gy_c, active)
+        def body(state):
+            wmat, active, it, dpn, znssd, oob_fail = state
+            # Warp the local grid (oc_deformation.cpp:94-105 / :268-282)
+            # with explicit FMAs: the einsum form materialized a
+            # [N, S, 3|6] basis stack (393 MB/iteration at the flagship
+            # queue) and ran as MXU rows.
+            if order == 1:
+                rows = wmat[:, :2, :]
+                basis = (xl, yl, None)  # None = the constant-1 column
+            else:
+                rows = wmat[:, 3:5, :]
+                basis = (xl * xl, xl * yl, yl * yl, xl, yl, None)
 
-        # Out-of-range detection via the -1 sentinel (oc_icgn.cpp:244-255).
-        fail_now = jnp.any(tval < 0.0, axis=1) & active
+            def wrow(r):
+                acc = rows[:, r, len(basis) - 1][:, None]
+                for c, b in enumerate(basis[:-1]):
+                    acc = acc + rows[:, r, c][:, None] * b
+                return acc
 
-        tar_mean = jnp.mean(tval, axis=1, keepdims=True)
-        tar_zm = tval - tar_mean
-        tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
-        err = tar_zm * (rn / tn)[:, None] - ref_zm
-        znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
-        num = jnp.stack(
-            [jnp.sum(_sd_ch(i, err), axis=1) for i in range(k_ch)], -1)
-        dp = jnp.einsum("nij,nj->ni", hinv, num)
-        winc = warp_from_p(dp)
-        wmat_new = wmat @ linalg_ops.inv_small(winc)
-        dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
+            gx_c = tcx[:, None] + wrow(0)
+            gy_c = tcy[:, None] + wrow(1)
+            tval = ev_fn(cc["ev"], gx_c, gy_c, active)
 
-        step = active & ~fail_now
-        wmat = jnp.where(step[:, None, None], wmat_new, wmat)
-        znssd = jnp.where(step, znssd_new, znssd)
-        dpn = jnp.where(step, dpn_new, dpn)
-        it = jnp.where(step, it + 1.0, it)
-        oob_fail = oob_fail | fail_now
-        active = step & (dpn >= conv) & (it < max_iter)
-        return wmat, active, it, dpn, znssd, oob_fail
+            # Out-of-range detection, -1 sentinel (oc_icgn.cpp:244-255).
+            fail_now = jnp.any(tval < 0.0, axis=1) & active
+
+            tar_mean = jnp.mean(tval, axis=1, keepdims=True)
+            tar_zm = tval - tar_mean
+            tn = jnp.sqrt(jnp.sum(tar_zm * tar_zm, axis=1))
+            err = tar_zm * (rn / tn)[:, None] - ref_zm
+            znssd_new = jnp.sum(err * err, axis=1) / (rn * rn)
+            num = jnp.stack(
+                [jnp.sum(_sd_ch(i, err), axis=1) for i in range(k_ch)], -1)
+            dp = jnp.einsum("nij,nj->ni", hinv, num)
+            winc = warp_from_p(dp)
+            wmat_new = wmat @ linalg_ops.inv_small(winc)
+            dpn_new = jnp.sqrt(jnp.sum(dp * dp * dp_w[None, :], axis=1))
+
+            step = active & ~fail_now
+            wmat = jnp.where(step[:, None, None], wmat_new, wmat)
+            znssd = jnp.where(step, znssd_new, znssd)
+            dpn = jnp.where(step, dpn_new, dpn)
+            it = jnp.where(step, it + 1.0, it)
+            oob_fail = oob_fail | fail_now
+            active = step & (dpn >= conv) & (it < max_iter)
+            return wmat, active, it, dpn, znssd, oob_fail
+
+        return body
 
     zf = jnp.zeros_like(xs)  # derived from inputs: sharding-varying under shard_map
     state0 = (
@@ -410,9 +472,32 @@ def icgn2d(
         zf,
         valid & ~valid,
     )
-    wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
-        lambda st: jnp.any(st[1]), body, state0
-    )
+    body = make_body(cc)
+    if n >= _COMPACT_MIN:
+        # Phase 1 at full width until <= n/4 POIs remain active; phase 2
+        # re-runs the SAME body on a gather-compacted quarter-width state
+        # (per-POI results identical: each POI's math is independent and
+        # unchanged — only the batch it shares a program with differs).
+        m = -(-n // 4)
+        st1 = jax.lax.while_loop(
+            lambda st: jnp.any(st[1]) & (jnp.sum(st[1]) > m), body, state0)
+        wmat, active1, it, dpn, znssd, oob_fail = st1
+        gi, si, okc = compact_idx(active1, m)
+        cc_s = jax.tree_util.tree_map(lambda a: a[gi], cc)
+        sub0 = (wmat[gi], active1[gi] & okc, it[gi], dpn[gi], znssd[gi],
+                oob_fail[gi])
+        sub = jax.lax.while_loop(
+            lambda st: jnp.any(st[1]), make_body(cc_s), sub0)
+        put = lambda full, v: full.at[si].set(v, mode="drop")
+        wmat = put(wmat, sub[0])
+        it = put(it, sub[2])
+        dpn = put(dpn, sub[3])
+        znssd = put(znssd, sub[4])
+        oob_fail = put(oob_fail, sub[5])
+    else:
+        wmat, _, it, dpn, znssd, oob_fail = jax.lax.while_loop(
+            lambda st: jnp.any(st[1]), body, state0
+        )
 
     computed = valid & ~oob_fail
     p_new = p_from_warp(wmat)  # [N, 6] or [N, 12]

@@ -371,3 +371,60 @@ class TestLatticeEval:
         assert (np.asarray(out_t[4]) > 0.99).all()
         for a, b in zip(out_t, out_l):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_icgn2d_two_phase_compaction_matches_batch_split():
+    """The two-phase active-set compaction (ops/icgn._COMPACT_MIN) must be
+    invisible in results: a queue wide enough to trigger it (n >= 4096)
+    produces bit-identical outputs to the same POIs computed in two
+    sub-4096 halves (single-phase).  Per-POI GN math is batch-independent,
+    so any difference would be a compaction indexing/scatter bug."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import opencorr_tpu as oc
+    from opencorr_tpu.data import poi as pm
+    from opencorr_tpu.ops import icgn as icgn_ops
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    assert icgn_ops._COMPACT_MIN <= 4100
+    rng = np.random.default_rng(3)
+    h, w = 140, 200
+    ref = (gaussian_filter(rng.standard_normal((h, w)), 1.5) * 55
+           + 128).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    # mild shift over most of the image (fast convergence) plus a
+    # short-wavelength patch on the right quarter so the compacted tail
+    # phase runs on a real straggler set
+    hard = np.clip((xx - 0.7 * w) / (0.1 * w), 0.0, 1.0)
+    tar = map_coordinates(
+        ref, [yy + 0.2 + hard * 1.1 * np.cos(yy / 7.0),
+              xx - 0.3 + hard * 1.3 * np.sin(xx / 8.0)],
+        order=3, mode="nearest").astype(np.float32)
+
+    pois = oc.poi_grid_2d((12, 12), 82, 50, 2)  # 4100 >= _COMPACT_MIN
+    f = oc.FFTCC2D(8, 8)
+    f.set_images(ref, tar)
+    seeded = f.compute(pois)
+    ic = oc.ICGN2D1(8, 8, 1e-4, 10)
+    ic.set_images(ref, tar)
+    ic.prepare()
+    out = ic.compute(seeded)
+
+    it = np.asarray(out.r[:, pm.R_ITER])
+    z = np.asarray(out.r[:, pm.R_ZNCC])
+    assert (z > 0).mean() > 0.95
+    # phase 2 must actually have run: a majority converge early while a
+    # nonempty straggler set iterates past the compaction point
+    assert (it[z > 0] <= 4).mean() > 0.3 and it.max() >= 5
+
+    halves = []
+    for sl in (slice(0, 2050), slice(2050, 4100)):
+        sub = jax.tree_util.tree_map(lambda a: a[sl], seeded)
+        halves.append(ic.compute(sub))
+    for field in ("p", "r"):
+        full = np.asarray(getattr(out, field))
+        split = np.concatenate([np.asarray(getattr(hh, field))
+                                for hh in halves], axis=0)
+        np.testing.assert_array_equal(full, split)
