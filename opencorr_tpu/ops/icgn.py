@@ -204,18 +204,70 @@ def make_windowed_eval2d_state(img, lut, cx, cy, u_seed, v_seed, *, rx, ry,
         val = jnp.where(oob, f32(-1.0), val.reshape(n, s))
 
         # Wobbled POIs (high local strain / large solver drift — e.g.
-        # the oht hole boundary, ~2% of that queue) are corrected with
-        # the exact LUT eval on a COMPACTED fixed-size subset instead of
-        # dragging the whole chunk onto the 17M-samples/s gather (a
-        # whole-chunk lax.cond cost ~0.5 s/iteration whenever ANY steep
-        # POI was still active).  If more than CAP POIs wobble, the
-        # whole chunk falls back — correct for any deformation, slow.
+        # the oht hole boundary, ~2% of that queue) are corrected on a
+        # COMPACTED fixed-size subset with a D=6 lattice eval over
+        # freshly gathered image blocks RE-CENTERED at the current warp
+        # (the seed-centered D=2 base absorbs ~2 px of deviation; the
+        # re-centered D=6 base absorbs 6 px, i.e. 37% strain at r=16).
+        # The previous exact-LUT gather here ran at ~17M samples/s and
+        # cost ~125 ms per flagship compute (round-5 device profile);
+        # the D=6 path is the same real tap sum reordered (~1e-6 rel),
+        # and the rare residual (>D=6 deviation or an image-edge-clipped
+        # base) escalates to the exact LUT eval under a nested cond.
+        # If more than CAP POIs wobble, the whole chunk falls back to
+        # the exact eval — correct for any deformation, slow.
+        D6 = 6
+        w6 = 4 + 2 * D6
+        e6x, e6y = sw + w6 - 1, sh + w6 - 1
+        cidx = (sh // 2) * sw + sw // 2
+
         def _correct(v):
             gi, si, okc = compact_idx(wob_poi, CAP2D)
-            vals, _u = bspline.bicubic_eval(lut, gxc[gi], gyc[gi])
-            vals = jnp.where(oob[gi], f32(-1.0), vals)
+            gxq = jnp.where(oob[gi], f32(2.0), gxc[gi])
+            gyq = jnp.where(oob[gi], f32(2.0), gyc[gi])
+            oob_c = oob[gi]
+            exg = jnp.floor(gxq).astype(jnp.int32)  # [C, S] image coords
+            eyg = jnp.floor(gyq).astype(jnp.int32)
+            fxg = gxq - exg.astype(f32)
+            fyg = gyq - eyg.astype(f32)
+            bx = jnp.clip(exg[:, cidx] - rx - 1 - D6, 0, w - e6x)
+            by = jnp.clip(eyg[:, cidx] - ry - 1 - D6, 0, h - e6y)
+            pdx = exg - 1 - bx[:, None] - iixf[None, :]
+            pdy = eyg - 1 - by[:, None] - iiyf[None, :]
+            pdx = jnp.where(oob_c, -1, pdx)
+            pdy = jnp.where(oob_c, -1, pdy)
+            eblk6 = gather2d.gather_windows_2d(
+                img, by, bx, sh=e6y, sw=e6x, interpret=interp)
+            c = gi.shape[0]
+            r36 = lambda a: a.reshape(c, sh, sw)
+            v6 = lattice_eval_2d(
+                eblk6, r36(pdy), r36(pdx), r36(fyg), r36(fxg),
+                d_wobble=D6, interpret=interp).reshape(c, s)
+            still = jnp.any(
+                ((pdx < 0) | (pdx > 2 * D6) | (pdy < 0) | (pdy > 2 * D6))
+                & ~oob_c, axis=1)
+
+            # ``still`` is tiny in practice (1-2 POIs with garbage
+            # warps on the flagship queue vs ~370 wobbled): evaluate the
+            # exact LUT on a 64-POI nested compaction — firing the exact
+            # branch at the full correction width cost ~106 ms/compute.
+            ns = jnp.sum(still)
+            caps = min(CAP2D, 64)
+
+            def _exact(vals):
+                gj, sj, okj = compact_idx(still, caps)
+                tv, _u = bspline.bicubic_eval(lut, gxq[gj], gyq[gj])
+                return vals.at[sj].set(tv, mode="drop")
+
+            def _exact_all(vals):
+                tv, _u = bspline.bicubic_eval(lut, gxq, gyq)
+                return jnp.where(still[:, None], tv, vals)
+
+            v6 = jax.lax.cond(ns > 0, _exact, lambda x: x, v6)
+            v6 = jax.lax.cond(ns > caps, _exact_all, lambda x: x, v6)
+            v6 = jnp.where(oob_c, f32(-1.0), v6)
             # padding rows scatter out of range and are dropped
-            return v.at[si].set(vals, mode="drop")
+            return v.at[si].set(v6, mode="drop")
 
         def _full(v):
             tval, _unused = bspline.bicubic_eval(lut, gxc, gyc)
